@@ -1,0 +1,91 @@
+"""Per-stage checkpointing with per-partition lineage manifests.
+
+Every stage boundary can be materialized to parquet together with a manifest
+recording (stage, config hash, model identity, row count, url range, and a
+per-partition breakdown). Resume = if a manifest exists and its config hash
+matches, the stage is NOT recomputed — the parquet is read back, giving exact
+resumability (north rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST = "_kg_manifest.json"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def try_resume(spark: SparkSession, path: str, stage: str, config_hash: str) -> DataFrame | None:
+    mf = _manifest_path(path)
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as f:
+        meta = json.load(f)
+    if meta.get("stage") != stage or meta.get("config_hash") != config_hash:
+        return None
+    return spark.read.parquet(path)
+
+
+def write_stage(
+    df: DataFrame,
+    path: str,
+    stage: str,
+    config_hash: str,
+    model_hash: str = "",
+    url_col: str | None = "url",
+) -> DataFrame:
+    """Materialize a stage + manifest; returns the re-read DataFrame (so the
+    downstream plan reads from disk, cutting lineage like the reference's
+    stage boundaries)."""
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if url_col and url_col in out.columns:
+        aggs += [F.min(url_col).alias("url_min"), F.max(url_col).alias("url_max")]
+    per_part = (
+        out.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid").agg(*aggs)
+        .orderBy("_pid")
+        .collect()
+    )
+    total = sum(r["rows"] for r in per_part)
+    meta = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "model_hash": model_hash,
+        "rows": total,
+        "created_unix": int(time.time()),
+        "partitions": [r.asDict() for r in per_part],
+    }
+    with open(_manifest_path(path), "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+    return out
+
+
+def checkpointed(
+    df_fn,
+    spark: SparkSession,
+    workdir: str | None,
+    stage: str,
+    config_hash: str,
+    model_hash: str = "",
+) -> DataFrame:
+    """Run ``df_fn()`` with checkpoint-or-resume semantics. With no workdir,
+    just build the lazy plan (no materialization)."""
+    if workdir is None:
+        return df_fn()
+    path = os.path.join(workdir, stage)
+    resumed = try_resume(spark, path, stage, config_hash)
+    if resumed is not None:
+        return resumed
+    return write_stage(df_fn(), path, stage, config_hash, model_hash)

@@ -1,0 +1,232 @@
+"""Deterministic stand-in encoders behind a pluggable protocol.
+
+torch/onnxruntime are unavailable in this sandbox, so the "model" is a seeded
+deterministic stand-in producing logits from stable hashes (FIXTURES.md,
+"Oracle note"). Every piece of *pipeline math* downstream of the logits —
+softmax/argmax decoding, consolidation, BIOES chunking, zero-shot slicing,
+pooling/normalization — is identical to what a real ONNX encoder would feed,
+and is ported from the reference:
+
+- token-classification softmax: exp(x)/Σexp(x) over the label dim
+  (src/pipelines/token_classification.rs:991-995)
+- zero-shot multilabel: logits[..., 0::2] = [contradiction, entailment],
+  softmax over the pair, take entailment
+  (src/pipelines/zero_shot_classification.rs:1009)
+- zero-shot single-label: softmax of the entailment logit ACROSS labels
+  (src/pipelines/zero_shot_classification.rs:868)
+- sentence embeddings: masked mean pooling then L2-normalize with clamp 1e-12
+  (src/pipelines/sentence_embeddings/layers.rs:39-76, pipeline.rs:403-411)
+
+Swapping in onnxruntime later = implement the same ``forward`` contract with
+an InferenceSession held as a per-worker singleton (mirrors the reference's
+Torch/ONNX ModelResource duality, src/pipelines/common.rs:85-89).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Protocol
+
+import numpy as np
+
+from .config import NER_LABELS, RELATIONS
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit integer mix (public splitmix64 constants)."""
+    x = x.astype(np.uint64)
+    x = (x + _U64(0x9E3779B97F4A7C15)) & _MASK64
+    x = ((x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK64
+    x = ((x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK64
+    return x ^ (x >> _U64(31))
+
+
+def _hash_noise(ids: np.ndarray, n_channels: int, seed: int) -> np.ndarray:
+    """Deterministic noise in [0, 0.1): shape ids.shape + (n_channels,)."""
+    base = ids.astype(np.uint64)[..., None] * _U64(n_channels) + np.arange(
+        n_channels, dtype=np.uint64
+    )
+    mixed = _splitmix64(base + _U64(seed * 0x10001))
+    return (mixed >> _U64(11)).astype(np.float64) / float(1 << 53) * 0.1
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """exp(x)/Σexp(x) — same math as token_classification.rs:991-995 (the
+    reference skips the max-subtraction trick; we keep it for stability,
+    which is exact-equivalent)."""
+    m = np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
+class TokenClassifier(Protocol):
+    def forward(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        continuation_mask: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """[B, T] int64 ids -> [B, T, n_labels] float64 logits.
+
+        ``continuation_mask`` marks sub-word continuation positions; a real
+        contextual encoder ignores it (attention provides the context), the
+        stand-in uses it to label continuations consistently with their word.
+        """
+        ...
+
+
+class StandInTokenClassifier:
+    """Gazetteer-backed deterministic token classifier.
+
+    The gazetteer maps sub-word piece ids -> NER label id; hits get a +8
+    logit on their label channel, misses +6 on 'O'. Hash noise (<0.1) makes
+    scores non-degenerate while keeping argmax deterministic.
+    """
+
+    def __init__(self, gazetteer: dict[int, int], labels: list[str] | None = None,
+                 seed: int = 42):
+        self.labels = labels or NER_LABELS
+        self.n_labels = len(self.labels)
+        self.seed = seed
+        if gazetteer:
+            keys = np.array(sorted(gazetteer), dtype=np.int64)
+            vals = np.array([gazetteer[k] for k in keys], dtype=np.int64)
+        else:
+            keys = np.empty(0, dtype=np.int64)
+            vals = np.empty(0, dtype=np.int64)
+        self._keys, self._vals = keys, vals
+
+    def _lookup(self, ids: np.ndarray) -> np.ndarray:
+        """ids -> label id (0 = 'O' for misses). Vectorized via searchsorted."""
+        out = np.zeros(ids.shape, dtype=np.int64)
+        if len(self._keys) == 0:
+            return out
+        pos = np.searchsorted(self._keys, ids)
+        pos_c = np.clip(pos, 0, len(self._keys) - 1)
+        hit = self._keys[pos_c] == ids
+        out[hit] = self._vals[pos_c[hit]]
+        return out
+
+    def forward(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        continuation_mask: np.ndarray | None = None,
+    ) -> np.ndarray:
+        b, t = input_ids.shape
+        logits = _hash_noise(input_ids, self.n_labels, self.seed)
+        label_ids = self._lookup(input_ids)
+        if continuation_mask is not None:
+            # continuation positions inherit the label of the word-initial
+            # piece to their left (what a trained contextual model does)
+            for col in range(1, t):
+                inherit = continuation_mask[:, col].astype(bool)
+                label_ids[inherit, col] = label_ids[inherit, col - 1]
+        rows = np.arange(b)[:, None], np.arange(t)[None, :]
+        bump = np.where(label_ids == 0, 0, 8.0)
+        logits[rows[0], rows[1], label_ids] += bump
+        logits[..., 0] += np.where(label_ids == 0, 6.0, 0.0)
+        return logits
+
+
+class StandInNLI:
+    """Deterministic NLI pair scorer for zero-shot relation extraction.
+
+    Hypotheses are produced by per-relation templates
+    ("{subj} <trigger> {obj}." — the reference supports exactly this via its
+    ZeroShotTemplate closure, src/pipelines/zero_shot_classification.rs:610).
+    Entailment is high iff the premise contains "subj <trigger> obj" with the
+    surface trigger phrase between the argument mentions.
+    """
+
+    _TRIGGERS = sorted(
+        ((r["trigger"], name) for name, r in RELATIONS.items()),
+        key=lambda x: -len(x[0]),
+    )
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    @staticmethod
+    def _parse_hypothesis(hyp: str) -> tuple[str, str, str] | None:
+        for trigger, _name in StandInNLI._TRIGGERS:
+            mid = f" {trigger} "
+            if mid in hyp:
+                subj, obj = hyp.split(mid, 1)
+                return subj.strip(), trigger, obj.rstrip(". ").strip()
+        return None
+
+    def forward_pairs(self, premises: list[str], hypotheses: list[str]) -> np.ndarray:
+        """-> [N, 3] float64 logits over [contradiction, neutral, entailment]."""
+        n = len(premises)
+        seeds = np.array(
+            [int.from_bytes(hashlib.md5((p + "\x00" + h).encode()).digest()[:8],
+                            "little") for p, h in zip(premises, hypotheses)],
+            dtype=np.uint64,
+        )
+        noise = _hash_noise(seeds, 3, self.seed)
+        logits = np.tile(np.array([4.0, -2.0, -4.0]), (n, 1)) + noise
+        for i, (prem, hyp) in enumerate(zip(premises, hypotheses)):
+            parsed = self._parse_hypothesis(hyp)
+            if parsed is None:
+                continue
+            subj, trigger, obj = parsed
+            pat = re.escape(subj) + r"\s+" + re.escape(trigger) + r"\s+" + re.escape(obj)
+            if re.search(pat, prem):
+                logits[i, 0], logits[i, 2] = logits[i, 2], logits[i, 0]
+                logits[i, 2] += 2.0
+        return logits
+
+
+def multilabel_entailment_scores(logits: np.ndarray) -> np.ndarray:
+    """Zero-shot multilabel scoring: per pair, softmax over
+    [contradiction, entailment] (= logits[..., 0::2]) and return the
+    entailment probability (zero_shot_classification.rs:1009)."""
+    pair = logits[..., 0::2]
+    return softmax(pair, axis=-1)[..., 1]
+
+
+def single_label_scores(entail_logits: np.ndarray) -> np.ndarray:
+    """Zero-shot single-label: softmax of the entailment logit across the
+    label dim (zero_shot_classification.rs:868). Input [n_inputs, n_labels]."""
+    return softmax(entail_logits, axis=-1)
+
+
+class StandInEmbedder:
+    """Deterministic sentence embedder: hashed char-trigram token vectors,
+    masked MEAN pooling, L2 normalize with clamp_min 1e-12 — the same pooling
+    + normalization pipeline as the reference sentence-embeddings model
+    (layers.rs:39-76 mean branch; pipeline.rs:403-411)."""
+
+    def __init__(self, dim: int = 64, seed: int = 42):
+        self.dim = dim
+        self.seed = seed
+
+    def _token_vec(self, token: str) -> np.ndarray:
+        padded = f"^{token.lower()}$"
+        grams = [padded[i:i + 3] for i in range(max(1, len(padded) - 2))]
+        idx = np.array(
+            [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+             for g in grams], dtype=np.uint64)
+        sign_bits = (_splitmix64(idx + _U64(self.seed)) >> _U64(13)) & _U64(1)
+        vec = np.zeros(self.dim, dtype=np.float64)
+        np.add.at(vec, (idx % _U64(self.dim)).astype(np.int64),
+                  np.where(sign_bits == 1, 1.0, -1.0))
+        return vec
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        """-> [N, dim] float32, L2-normalized."""
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, text in enumerate(texts):
+            tokens = re.findall(r"\w+", text, re.UNICODE)
+            if not tokens:
+                continue
+            mat = np.stack([self._token_vec(t) for t in tokens])
+            out[i] = mat.mean(axis=0)  # masked mean pooling (layers.rs:56-66)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out = out / np.clip(norms, 1e-12, None)  # pipeline.rs:403-411
+        return out.astype(np.float32)

@@ -1,0 +1,396 @@
+"""The five-stage KG-construction pipeline as Spark DataFrame plans.
+
+Physical design (SURVEY §4):
+- ONE shuffle between sentence production and inference: a repartition on
+  (length bucket, salted url hash) followed by sortWithinPartitions(n_tok),
+  so no Arrow batch mixes wildly different sequence lengths and hot domains
+  cannot concentrate in one task (anti-skew per BASELINE.json).
+- Models are per-worker singletons (kgforge.workers); all UDFs are
+  Arrow-batched mapInPandas / pandas_udf — no per-row Python.
+- The alias dictionary joins with an explicit ``broadcast()`` hint.
+- Cheap filters run before expensive stages (sentences with <2 entities
+  never reach the NLI scorer; non-target languages are pruned at the scan).
+- Stage boundaries can checkpoint to parquet with lineage manifests
+  (kgforge.checkpoint) for exact resume.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import asdict
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+
+from . import schemas
+from .config import PipelineConfig
+from .extract import extract_text, extractor_hash
+from .ner import consolidate_entities, predict_tokens
+from .link import normalize_mention, rerank_ambiguous
+from .canon import connected_components
+from .checkpoint import checkpointed
+from .tokenization import _SUBWORD_CHUNK, _WORD_RE, split_sentences
+from .triples import generate_candidates, score_candidates
+from .workers import get_embedder, get_nli, get_token_classifier
+
+
+# --------------------------------------------------------------------------
+# stage 1 — extract
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(StringType())
+def extract_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: extract_text(bytes(b)) if b is not None else "")
+
+
+def stage_extract(pages: DataFrame, langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> (url, lang, text).
+
+    The language filter is applied BEFORE extraction so Catalyst pushes it to
+    the scan (partition pruning on a lang-partitioned table); only url/html/
+    lang columns are read (column pruning: never read `text` when extracting
+    from `html`)."""
+    return (
+        pages
+        .where(F.col("lang").isin(list(langs)))
+        .select("url", "lang", extract_udf("html").alias("text"))
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 2a — sentence split + length bucketing
+# --------------------------------------------------------------------------
+
+def _piece_count(sentence: str) -> int:
+    return sum(
+        (len(m.group(0)) + _SUBWORD_CHUNK - 1) // _SUBWORD_CHUNK
+        for m in _WORD_RE.finditer(sentence)
+    )
+
+
+def stage_sentences(extracted: DataFrame) -> DataFrame:
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("url", "sent_idx", "sent_begin", "sentence", "n_tok", "bucket")}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for i, (begin, sent) in enumerate(split_sentences(text or "")):
+                    n_tok = _piece_count(sent)
+                    out["url"].append(url)
+                    out["sent_idx"].append(i)
+                    out["sent_begin"].append(begin)
+                    out["sentence"].append(sent)
+                    out["n_tok"].append(n_tok)
+                    out["bucket"].append(int(math.ceil(math.log2(n_tok + 1))))
+            yield pd.DataFrame(out)
+
+    return extracted.mapInPandas(gen, schema=schemas.SENTENCES)
+
+
+def repartition_by_length(sentences: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Anti-skew shuffle: hash-partition on (length bucket, salted url hash)
+    then sort within partitions by token count — Arrow batches downstream see
+    near-homogeneous sequence lengths (tight padding), and a hot domain's
+    sentences spread over ``salt_buckets`` tasks."""
+    return (
+        sentences
+        .repartition(
+            cfg.shuffle_partitions,
+            F.col("bucket"),
+            F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)),
+        )
+        .sortWithinPartitions("n_tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 2b — NER inference
+# --------------------------------------------------------------------------
+
+def stage_ner(sentences: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """-> (url, sent_idx, sent_begin, sentence, entities[]) with char offsets
+    sentence-local. Encoder is a worker singleton; micro-batching and padding
+    happen inside predict_tokens exactly as the reference's batch loop."""
+    seed = cfg.seed
+    cfg_kwargs = asdict(cfg)
+
+    def gen(batches):
+        local_cfg = PipelineConfig(**cfg_kwargs)
+        enc = get_token_classifier(seed)
+        for pdf in batches:
+            texts = pdf["sentence"].tolist()
+            token_lists = predict_tokens(texts, enc, local_cfg)
+            entities = [
+                [
+                    {"word": e.word, "label": e.label, "score": e.score,
+                     "begin": e.begin, "end": e.end}
+                    for e in consolidate_entities(toks)
+                ]
+                for toks in token_lists
+            ]
+            yield pd.DataFrame({
+                "url": pdf["url"], "sent_idx": pdf["sent_idx"],
+                "sent_begin": pdf["sent_begin"], "sentence": pdf["sentence"],
+                "entities": entities,
+            })
+
+    return sentences.mapInPandas(gen, schema=schemas.SENTENCE_ENTITIES)
+
+
+# --------------------------------------------------------------------------
+# stage 3 — candidate generation + zero-shot scoring
+# --------------------------------------------------------------------------
+
+def stage_candidates(sentence_entities: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    max_dist = cfg.max_pair_distance
+
+    @F.pandas_udf(ArrayType(schemas.CANDIDATE))
+    def cand_udf(entities: pd.Series) -> pd.Series:
+        return entities.map(
+            lambda ents: [asdict(c) for c in generate_candidates(list(ents), max_dist)]
+        )
+
+    return (
+        sentence_entities
+        .where(F.size("entities") >= 2)      # cheap gate before the NLI stage
+        .withColumn("candidate", F.explode(cand_udf("entities")))
+        .select("url", "sent_idx", "sentence", "candidate.*")
+    )
+
+
+def stage_score(candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    seed, bsz, thr = cfg.seed, cfg.batch_size, cfg.relation_threshold
+    out_schema = StructType(candidates.schema.fields + [
+        StructField("score", DoubleType(), False)
+    ])
+
+    def gen(batches):
+        nli = get_nli(seed)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(score=pd.Series(dtype="float64"))
+                continue
+            scores = score_candidates(
+                pdf["sentence"].tolist(), pdf["hypothesis"].tolist(), nli, bsz
+            )
+            yield pdf.assign(score=scores)
+
+    return (
+        candidates.mapInPandas(gen, schema=out_schema)
+        .where(F.col("score") >= thr)
+    )
+
+
+# --------------------------------------------------------------------------
+# stage 4 — entity linking
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(StringType())
+def normalize_udf(word: pd.Series) -> pd.Series:
+    return word.map(normalize_mention)
+
+
+def stage_mentions(sentence_entities: DataFrame) -> DataFrame:
+    return (
+        sentence_entities
+        .select("url", "sent_idx", "sentence", F.explode("entities").alias("e"))
+        .select(
+            "url", "sent_idx", "sentence",
+            F.col("e.word").alias("word"), F.col("e.label").alias("label"),
+            F.col("e.begin").alias("begin"), F.col("e.end").alias("end"),
+        )
+        .withColumn("norm", normalize_udf("word"))
+    )
+
+
+def stage_link(mentions: DataFrame, alias_dict: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Broadcast alias join, then embedding rerank for ambiguous aliases.
+    Output: RESOLVED (entity_id null => unresolved)."""
+    dim, seed = cfg.embedding_dim, cfg.seed
+    joined = mentions.join(
+        F.broadcast(alias_dict.select("alias", "entity_id", "desc", "prior")),
+        mentions["norm"] == alias_dict["alias"],
+        "left",
+    )
+    grouped = (
+        joined
+        .groupBy("url", "sent_idx", "begin", "end")
+        .agg(
+            F.first("sentence").alias("sentence"),
+            F.first("word").alias("word"),
+            F.first("label").alias("label"),
+            F.first("norm").alias("norm"),
+            F.collect_list(F.struct("entity_id", "desc", "prior")).alias("cands"),
+        )
+    )
+
+    def gen(batches):
+        emb = get_embedder(dim, seed)
+        for pdf in batches:
+            ids: list[str | None] = [None] * len(pdf)
+            amb_idx, amb_ctx, amb_cands = [], [], []
+            for i, cands in enumerate(pdf["cands"]):
+                cands = list(cands)
+                if len(cands) == 0:
+                    continue
+                if len(cands) == 1:
+                    ids[i] = cands[0]["entity_id"]
+                else:
+                    amb_idx.append(i)
+                    amb_ctx.append(pdf["sentence"].iloc[i])
+                    amb_cands.append(
+                        [(c["entity_id"], c["desc"], c["prior"]) for c in cands]
+                    )
+            if amb_idx:
+                picked = rerank_ambiguous(amb_ctx, amb_cands, emb)
+                for i, eid in zip(amb_idx, picked):
+                    ids[i] = eid
+            out = pdf[["url", "sent_idx", "sentence", "word", "label",
+                       "begin", "end", "norm"]].copy()
+            out["entity_id"] = ids
+            yield out
+
+    return grouped.mapInPandas(gen, schema=schemas.RESOLVED)
+
+
+# --------------------------------------------------------------------------
+# stage 5 — canonicalization (connected components) + final triples
+# --------------------------------------------------------------------------
+
+def _occ_node(prefix: str = "o:") -> F.Column:
+    return F.concat(F.lit(prefix), F.concat_ws(
+        "#", F.col("url"), F.col("sent_idx"), F.col("begin"), F.col("end")))
+
+
+def stage_canon(resolved: DataFrame, mentions: DataFrame,
+                max_cc_iterations: int = 20) -> DataFrame:
+    """Same-as evidence edges -> connected components -> occurrence->canonical.
+
+    Edges:
+      o:occurrence — e:entity        (dictionary/ANN-resolved mentions)
+      o:occurrence — s:norm          (unresolved mentions cluster by surface)
+      s:last_word  — s:full_norm     (within-page partial-name coreference)
+    Prefix order 'e:' < 'o:' < 's:' makes a linked entity the component min,
+    so canonical ids are entity ids whenever a component contains one.
+    """
+    occ = resolved.withColumn("node", _occ_node())
+    resolved_edges = (
+        occ.where(F.col("entity_id").isNotNull())
+        .select(F.col("node").alias("src"),
+                F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"))
+    )
+    unresolved = occ.where(F.col("entity_id").isNull())
+    surface_edges = unresolved.select(
+        F.col("node").alias("src"),
+        F.concat(F.lit("s:"), F.col("norm")).alias("dst"),
+    )
+    multiword = (
+        mentions.select(F.col("url").alias("m_url"), F.col("norm").alias("full_norm"))
+        .distinct()
+        .where(F.size(F.split("full_norm", " ")) > 1)
+        .withColumn("lastw", F.element_at(F.split("full_norm", " "), -1))
+    )
+    coref_edges = (
+        unresolved.select(F.col("url").alias("u_url"), F.col("norm").alias("u_norm"))
+        .distinct()
+        .join(multiword,
+              (F.col("u_url") == F.col("m_url")) & (F.col("u_norm") == F.col("lastw")),
+              "inner")
+        .select(F.concat(F.lit("s:"), F.col("u_norm")).alias("src"),
+                F.concat(F.lit("s:"), F.col("full_norm")).alias("dst"))
+        .distinct()
+    )
+    edges = resolved_edges.unionByName(surface_edges).unionByName(coref_edges)
+    cc = connected_components(edges, max_iterations=max_cc_iterations)
+    return (
+        cc.where(F.col("node").startswith("o:"))
+        .select(
+            F.col("node"),
+            F.when(F.col("component").startswith("e:"),
+                   F.expr("substring(component, 3)"))
+             .otherwise(F.col("component")).alias("canonical_id"),
+        )
+    )
+
+
+def stage_triples(scored: DataFrame, canon_map: DataFrame) -> DataFrame:
+    """Attach canonical ids to scored candidates; aggregate duplicates."""
+    subj_map = canon_map.select(F.col("node").alias("subj_node"),
+                                F.col("canonical_id").alias("subj_id"))
+    obj_map = canon_map.select(F.col("node").alias("obj_node"),
+                               F.col("canonical_id").alias("obj_id"))
+    with_nodes = (
+        scored
+        .withColumn("subj_node", F.concat(F.lit("o:"), F.concat_ws(
+            "#", "url", "sent_idx", "subj_begin", "subj_end")))
+        .withColumn("obj_node", F.concat(F.lit("o:"), F.concat_ws(
+            "#", "url", "sent_idx", "obj_begin", "obj_end")))
+    )
+    return (
+        with_nodes
+        .join(subj_map, "subj_node")
+        .join(obj_map, "obj_node")
+        .groupBy("url", "subj_id", "pred", "obj_id")
+        .agg(
+            F.min("sent_idx").alias("sent_idx"),
+            F.first("subj_word").alias("subj_word"),
+            F.first("obj_word").alias("obj_word"),
+            F.max("score").alias("score"),
+        )
+        .select("url", "sent_idx", "subj_id", "pred", "obj_id",
+                "subj_word", "obj_word", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# end-to-end
+# --------------------------------------------------------------------------
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    cfg: PipelineConfig | None = None,
+    workdir: str | None = None,
+) -> DataFrame:
+    """pages + alias_dict -> canonical triples DataFrame.
+
+    With ``workdir`` set, each stage materializes to parquet with a lineage
+    manifest and resumes from it when re-run with the same config."""
+    cfg = cfg or PipelineConfig()
+    ch = cfg.config_hash()
+    mh = f"{cfg.model_name}:{extractor_hash()}"
+
+    extracted = checkpointed(lambda: stage_extract(pages), spark, workdir,
+                             "s1_extract", ch, mh)
+    sentences = checkpointed(
+        lambda: repartition_by_length(stage_sentences(extracted), cfg),
+        spark, workdir, "s2a_sentences", ch, mh)
+    sent_ents = checkpointed(lambda: stage_ner(sentences, cfg), spark, workdir,
+                             "s2b_ner", ch, mh)
+    scored = checkpointed(
+        lambda: stage_score(stage_candidates(sent_ents, cfg), cfg),
+        spark, workdir, "s3_scored", ch, mh)
+    mentions = stage_mentions(sent_ents)
+    resolved = checkpointed(lambda: stage_link(mentions, alias_dict, cfg),
+                            spark, workdir, "s4_resolved", ch, mh)
+    canon_map = stage_canon(resolved, mentions)
+    triples = checkpointed(lambda: stage_triples(scored, canon_map),
+                           spark, workdir, "s5_triples", ch, mh)
+    return triples
+
+
+def materialize_triples(triples: DataFrame, path: str) -> None:
+    """Partitioned table write: predicate-partitioned, url-sorted within
+    partitions (the parquet analog of the Iceberg layout in the north star;
+    the writer is isolated here so an Iceberg `writeTo` is a one-line swap)."""
+    (
+        triples
+        .repartition("pred")
+        .sortWithinPartitions("url")
+        .write.mode("overwrite")
+        .partitionBy("pred")
+        .parquet(path)
+    )

@@ -1,0 +1,90 @@
+"""Stage 3 — candidate (subj, pred, obj) generation + zero-shot scoring.
+
+Mirrors the reference's zero-shot classification pipeline driven through a
+custom template closure (supported by the reference via ZeroShotTemplate,
+src/pipelines/zero_shot_classification.rs:610):
+
+- the premise is the sentence containing the candidate pair;
+- each candidate predicate contributes one hypothesis from its template
+  (cross join of inputs x labels, zero_shot_classification.rs:730-738 — here
+  the label set is conditioned on the entity-type pair, which only shrinks
+  the cross join);
+- scoring is the multilabel path: per (premise, hypothesis) pair take
+  [contradiction, entailment] = logits[..., 0::2], softmax over the two,
+  keep the entailment probability (zero_shot_classification.rs:1009), then
+  threshold (predict_multilabel's downstream filter).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import RELATIONS, PipelineConfig
+from .encoders import StandInNLI, multilabel_entailment_scores
+
+# (subj_type, obj_type) -> [relation names] — closed-world candidate gating
+_TYPE_PAIR_RELATIONS: dict[tuple[str, str], list[str]] = {}
+for _name, _spec in RELATIONS.items():
+    _TYPE_PAIR_RELATIONS.setdefault((_spec["subj"], _spec["obj"]), []).append(_name)
+
+
+@dataclass
+class Candidate:
+    subj_word: str
+    subj_type: str
+    subj_begin: int
+    subj_end: int
+    obj_word: str
+    obj_type: str
+    obj_begin: int
+    obj_end: int
+    pred: str
+    hypothesis: str
+
+
+def generate_candidates(
+    entities: list[dict], max_pair_distance: int = 200
+) -> list[Candidate]:
+    """Ordered entity pairs within one sentence, gated by relation type
+    signatures. ``entities``: dicts with word/label/begin/end (stage-2 rows).
+    """
+    out: list[Candidate] = []
+    for a in entities:
+        for b in entities:
+            if a is b:
+                continue
+            if (a["begin"], a["end"]) == (b["begin"], b["end"]):
+                continue
+            rels = _TYPE_PAIR_RELATIONS.get((a["label"], b["label"]))
+            if not rels:
+                continue
+            if abs(b["begin"] - a["begin"]) > max_pair_distance:
+                continue
+            for pred in rels:
+                template = RELATIONS[pred]["template"]
+                out.append(Candidate(
+                    subj_word=a["word"], subj_type=a["label"],
+                    subj_begin=a["begin"], subj_end=a["end"],
+                    obj_word=b["word"], obj_type=b["label"],
+                    obj_begin=b["begin"], obj_end=b["end"],
+                    pred=pred,
+                    hypothesis=template.format(subj=a["word"], obj=b["word"]),
+                ))
+    return out
+
+
+def score_candidates(
+    premises: list[str], hypotheses: list[str], nli: StandInNLI,
+    batch_size: int = 64,
+) -> np.ndarray:
+    """Entailment probabilities for (premise, hypothesis) pairs, computed in
+    micro-batches of ``batch_size`` like every reference pipeline."""
+    scores = np.empty(len(premises), dtype=np.float64)
+    for start in range(0, len(premises), batch_size):
+        p = premises[start:start + batch_size]
+        h = hypotheses[start:start + batch_size]
+        logits = nli.forward_pairs(p, h)
+        scores[start:start + len(p)] = multilabel_entailment_scores(logits)
+    return scores

@@ -1,0 +1,110 @@
+"""Zero-shot scoring math, ported from the reference:
+- multilabel: per (premise, hypothesis) pair, softmax over
+  [contradiction, entailment] = logits[..., 0::2], take entailment
+  (zero_shot_classification.rs:1009) — mirrors tests/bart.rs:265-307 in
+  structure, scores recomputed under the stand-in NLI;
+- single-label: softmax of the entailment logit ACROSS labels
+  (zero_shot_classification.rs:868) — mirrors tests/bart.rs:204-234;
+- empty input -> empty output errors in the reference (tests/bart.rs:237-258).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kgforge.config import RELATIONS
+from kgforge.encoders import (
+    StandInNLI,
+    multilabel_entailment_scores,
+    single_label_scores,
+    softmax,
+)
+from kgforge.triples import generate_candidates, score_candidates
+
+
+@pytest.fixture(scope="module")
+def nli():
+    return StandInNLI()
+
+
+def test_multilabel_slice_math():
+    logits = np.array([[1.0, 5.0, 3.0], [4.0, 0.0, -1.0]])
+    scores = multilabel_entailment_scores(logits)
+    # pair softmax over [l0, l2]
+    exp0 = np.exp(3.0) / (np.exp(1.0) + np.exp(3.0))
+    exp1 = np.exp(-1.0) / (np.exp(4.0) + np.exp(-1.0))
+    assert np.allclose(scores, [exp0, exp1])
+
+
+def test_single_label_softmax_across_labels():
+    entail = np.array([[2.0, 1.0, 0.0]])
+    s = single_label_scores(entail)
+    assert np.allclose(s.sum(axis=-1), 1.0)
+    assert s[0].argmax() == 0
+    assert np.allclose(s, softmax(entail, -1))
+
+
+def test_entailed_relation_scores_high(nli):
+    prem = "Sources confirmed that Amy Silva lives in Paris since 2019."
+    hyp_good = "Amy Silva lives in Paris."
+    hyp_bad = "Amy Silva works for Paris."
+    logits = nli.forward_pairs([prem, prem], [hyp_good, hyp_bad])
+    scores = multilabel_entailment_scores(logits)
+    assert scores[0] > 0.95
+    assert scores[1] < 0.05
+
+
+def test_distractor_not_entailed(nli):
+    prem = "Amy Silva visited Paris yesterday."
+    hyp = "Amy Silva lives in Paris."
+    s = multilabel_entailment_scores(nli.forward_pairs([prem], [hyp]))
+    assert s[0] < 0.05
+
+
+def test_scores_deterministic(nli):
+    prem, hyp = ["a b c"], ["x lives in y."]
+    a = nli.forward_pairs(prem, hyp)
+    b = nli.forward_pairs(prem, hyp)
+    assert np.array_equal(a, b)
+
+
+def test_candidate_generation_type_gating():
+    ents = [
+        {"word": "Amy", "label": "PER", "begin": 0, "end": 3},
+        {"word": "Paris", "label": "LOC", "begin": 13, "end": 18},
+        {"word": "Acme Corp", "label": "ORG", "begin": 30, "end": 39},
+    ]
+    cands = generate_candidates(ents)
+    preds = {(c.subj_word, c.pred, c.obj_word) for c in cands}
+    assert ("Amy", "lives_in", "Paris") in preds
+    assert ("Amy", "works_for", "Acme Corp") in preds
+    assert ("Acme Corp", "located_in", "Paris") in preds
+    assert ("Acme Corp", "founded_by", "Amy") in preds
+    # no (LOC, *) subject relations exist
+    assert not any(c.subj_word == "Paris" for c in cands)
+    # hypotheses instantiate the template
+    for c in cands:
+        assert c.hypothesis == RELATIONS[c.pred]["template"].format(
+            subj=c.subj_word, obj=c.obj_word)
+
+
+def test_candidate_distance_gate():
+    ents = [
+        {"word": "Amy", "label": "PER", "begin": 0, "end": 3},
+        {"word": "Paris", "label": "LOC", "begin": 500, "end": 505},
+    ]
+    assert generate_candidates(ents, max_pair_distance=200) == []
+
+
+def test_empty_input_empty_output(nli):
+    assert score_candidates([], [], nli).shape == (0,)
+    assert generate_candidates([]) == []
+
+
+def test_score_candidates_batching_invariance(nli):
+    prems = [f"Amy Silva lives in Paris p{i}." for i in range(10)]
+    hyps = ["Amy Silva lives in Paris."] * 10
+    s1 = score_candidates(prems, hyps, nli, batch_size=3)
+    s2 = score_candidates(prems, hyps, nli, batch_size=64)
+    assert np.array_equal(s1, s2)
