@@ -1,0 +1,675 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each entry maps one operator from SURVEY §2 (or a training-data-pipeline
+primitive the north star needs) to:
+  - a Spark DataFrame plan ``(spark, sf_dir) -> DataFrame`` built from
+    /root/testdata tables (documents, embeddings, lineitem, orders, events…),
+  - an equivalent ANSI-SQL string DuckDB runs on the same parquet
+    (pre-registered views with the same names).
+
+Determinism discipline (the driver hash-compares values):
+  - prefer EXACT math: counts, min/max, integer-valued double sums/products
+    (< 2^53), string min/max of md5 hex, ratios of exact sums;
+  - where transcendentals/cosines are unavoidable, round to 4 dp on BOTH
+    sides and keep ranking decided by exact values;
+  - alias every computed column identically on both sides.
+
+The kg_* queries run the actual KG pipeline over pages synthesized
+deterministically FROM the documents table (index-keyed, no external data);
+they have no SQL oracle (driver records the weaker rows-only check) — their
+exactness gate is the pytest P/R suite instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schemas
+from .config import PipelineConfig
+
+# small fixed stopword list (shared literal between engines)
+STOPWORDS = ("the", "a", "of", "and", "with", "over", "under", "near", "while")
+
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# text analysis over documents
+# --------------------------------------------------------------------------
+
+def q_doc_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer) — flat-map/projection family."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+             .alias("n_tok"),
+            F.length("text").alias("n_chars_actual"),
+        )
+    )
+
+
+SQL_DOC_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_doc_stopword_stats(spark, sf_dir):
+    """Language-ID-style heuristic features: stopword hits + ratio (exact
+    ratio of exact ints)."""
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    stops = F.filter(words, lambda x: x.isin(*STOPWORDS))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "lang",
+            F.size(words).alias("n_words"),
+            F.size(stops).alias("n_stop"),
+            (F.size(stops).cast("double") / F.size(words).cast("double"))
+                .alias("stop_ratio"),
+        )
+    )
+
+
+SQL_DOC_STOPWORD_STATS = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id, lang,
+       len(words) AS n_words,
+       len(list_filter(words, x -> x IN {_SW_SQL})) AS n_stop,
+       CAST(len(list_filter(words, x -> x IN {_SW_SQL})) AS DOUBLE)
+         / CAST(len(words) AS DOUBLE) AS stop_ratio
+FROM w
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: punctuation count, mean word length (exact ratios)."""
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.length(F.regexp_replace(F.col("text"), r"[^.!?,;]", "")).alias("n_punct"),
+            F.size(words).alias("n_words"),
+            (total_word_chars.cast("double") / F.size(words).cast("double"))
+                .alias("mean_word_len"),
+        )
+    )
+
+
+SQL_DOC_QUALITY = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct,
+       len(words) AS n_words,
+       CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+         / CAST(len(words) AS DOUBLE) AS mean_word_len
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# deduplication family
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: md5 fingerprint group -> group size + keeper id."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+_MINHASH_SEEDS = ["s1", "s2", "s3", "s4"]
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash over 3-word shingles; hash_i(s) = md5(seed_i || s), min taken
+    on the hex STRING (identical total order in both engines)."""
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    df = _docs(spark, sf_dir).select("doc_id", words.alias("words"))
+    df = df.where(F.size("words") >= 3).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 3),
+            lambda i: F.concat_ws(" ", F.slice("words", i + 1, 3)),
+        ).alias("shingles"),
+    )
+    cols = [
+        F.array_min(F.transform(
+            "shingles", lambda s: F.md5(F.concat(F.lit(seed), F.lit("|"), s))
+        )).alias(f"mh{k + 1}")
+        for k, seed in enumerate(_MINHASH_SEEDS)
+    ]
+    return df.select("doc_id", *cols)
+
+
+SQL_MINHASH_SIGNATURE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)] AS shingles
+  FROM w WHERE len(words) >= 3
+)
+SELECT doc_id,
+       list_min(list_transform(shingles, x -> md5('s1' || '|' || x))) AS mh1,
+       list_min(list_transform(shingles, x -> md5('s2' || '|' || x))) AS mh2,
+       list_min(list_transform(shingles, x -> md5('s3' || '|' || x))) AS mh3,
+       list_min(list_transform(shingles, x -> md5('s4' || '|' || x))) AS mh4
+FROM s
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs: same-lang docs blocked by shared minhash
+    band (mh1), then exact word-set Jaccard (ratio of exact ints).
+    Blocking-first is the scale path: the quadratic compare runs only inside
+    buckets, never across the corpus."""
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""))
+    mh = q_minhash_signature(spark, sf_dir).select("doc_id", "mh1")
+    d = (_docs(spark, sf_dir).select("doc_id", "lang", words.alias("ws"))
+         .join(mh, "doc_id"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+                 F.col("ws").alias("ws_a"), F.col("mh1").alias("band"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+                 F.col("ws").alias("ws_b"), F.col("mh1").alias("band"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
+    return (
+        a.join(b, "band")
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH w AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, ws,
+         list_min(list_transform(
+           [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)],
+           x -> md5('s1' || '|' || x))) AS band
+  FROM w WHERE len(words) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard
+FROM m a JOIN m b ON a.band = b.band
+WHERE a.doc_id < b.doc_id AND a.lang = b.lang
+  AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.2
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: min/max word hash + distinct word count."""
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", words.alias("ws"))
+        .select(
+            "doc_id",
+            F.array_min(F.transform("ws", lambda x: F.md5(x))).alias("fp_min"),
+            F.array_max(F.transform("ws", lambda x: F.md5(x))).alias("fp_max"),
+            F.size("ws").alias("n_distinct_words"),
+        )
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(ws, x -> md5(x))) AS fp_min,
+       list_max(list_transform(ws, x -> md5(x))) AS fp_max,
+       len(ws) AS n_distinct_words
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir, n_queries: int = 5, k: int = 5):
+    """Brute-force cosine top-k (the exact ANN baseline): query vectors
+    vec_id < n_queries vs the whole corpus. Ranking is decided on exact
+    doubles folded in list order (identical on both engines); the reported
+    score is rounded to 6 dp."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv"))
+    sims = (
+        q.join(c, F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id",
+                (dot(F.col("qv"), F.col("cv"))
+                 / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cos"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
+                     (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(c.v, x -> x * x), (acc, x) -> acc + x)))
+           AS cos
+  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, corpus_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank,
+         cos
+  FROM sims
+)
+SELECT query_id, corpus_id, rank, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# relational-operator inventory (SURVEY §2.3) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-k per group (reference QA top-k answers pattern)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_share_in_group(spark, sf_dir):
+    """Per-group normalization (the zero-shot softmax-over-labels shape,
+    zero_shot_classification.rs:868, with exact integer-sum math):
+    quantity share within an order."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("l_orderkey")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_quantity") / F.sum("l_quantity").over(w)).alias("qty_share"),
+        )
+    )
+
+
+SQL_SHARE_IN_GROUP = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey) AS qty_share
+FROM lineitem
+"""
+
+
+def q_product_agg(spark, sf_dir):
+    """Product aggregation (entity score = ∏ token scores, ner.rs:409) —
+    exact for integer-valued doubles with products < 2^53."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_quantity").alias("qs"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "l_orderkey", "n_items",
+            F.aggregate("qs", F.lit(1.0), lambda acc, x: acc * x)
+             .alias("qty_product"),
+        )
+    )
+
+
+SQL_PRODUCT_AGG = """
+SELECT l_orderkey, count(*) AS n_items, product(l_quantity) AS qty_product
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_broadcast_join(spark, sf_dir):
+    """Broadcast hash join + aggregation (the stage-4 alias-dict shape)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT r_name AS region_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_dedup_rows(spark, sf_dir):
+    """dropDuplicates (reference remove_duplicates on answers)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .dropDuplicates()
+    )
+
+
+SQL_DEDUP_ROWS = """
+SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+"""
+
+
+def q_explode_words(spark, sf_dir):
+    """Flat-map 1->N with position (doc -> spans/ngrams pattern):
+    posexplode == unnest WITH ORDINALITY."""
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(words).alias("pos", "word"))
+    )
+
+
+SQL_EXPLODE_WORDS = """
+SELECT doc_id,
+       unnest(list_transform(
+                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                (x, i) -> struct_pack(pos := CAST(i - 1 AS INT), word := x)),
+              recursive := true)
+FROM documents
+WHERE doc_id < 20
+"""
+
+
+def q_argmax_per_group(spark, sf_dir):
+    """Argmax (label argmax pattern): per event_type, the event with max
+    value (deterministic tie-break on event_id)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("event_id").alias("top_event"),
+                F.round("value", 2).alias("top_value"))
+    )
+
+
+SQL_ARGMAX_PER_GROUP = """
+SELECT event_type, event_id AS top_event, round(value, 2) AS top_value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Ordered window / sessionization (the relational fallback for BIOES
+    chunking, SURVEY §2.3): 30-minute-gap sessions per user."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; interpret the naive value as UTC (exactly what
+    # DuckDB's epoch() does) so tsec is timezone-independent on both engines
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("cast(to_utc_timestamp(ts, 'UTC') as double)").alias("tsec"))
+    w2 = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.col("tsec") - F.lag("tsec").over(w2) > 1800.0, 1)
+         .when(F.lag("tsec").over(w2).isNull(), 1).otherwise(0),
+    )
+    return (
+        marked
+        .withColumn("session_id", F.sum("new_session").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS tsec FROM events
+), marked AS (
+  SELECT user_id, event_id, tsec,
+         CASE WHEN lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id)
+                   IS NULL THEN 1
+              WHEN tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id)
+                   > 1800.0 THEN 1
+              ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# KG pipeline queries (no SQL oracle — driver rows-only; exactness gated in
+# pytest via construction-time gold)
+# --------------------------------------------------------------------------
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the mandated pages table deterministically FROM the
+    documents table: page index = doc_id (pure function, no external data);
+    the document's own word-soup text is appended as realistic no-entity
+    filler so throughput numbers include honest dead weight."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("doc_text"))
+
+    def gen(batches):
+        from .synth import PageGen
+        from .extract import wrap_html
+        pg = PageGen()
+        for pdf in batches:
+            rows = []
+            for doc_id, doc_text in zip(pdf["doc_id"], pdf["doc_text"]):
+                page, _ = pg.gen_page(int(doc_id))
+                text = page["text"] + "\n" + str(doc_text)
+                rows.append({
+                    "url": page["url"], "warc_ts": page["warc_ts"],
+                    "html": wrap_html(text, page["url"]), "text": text,
+                    "lang": page["lang"],
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, schema=schemas.PAGES)
+
+
+def gold_for_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold triples for pages_from_documents (same index keying)."""
+    ids = [int(r["doc_id"]) for r in
+           _docs(spark, sf_dir).select("doc_id").collect()]
+    from .synth import PageGen
+    pg = PageGen()
+    golds = []
+    for i in ids:
+        page, gd = pg.gen_page(i)
+        golds.extend(gd)
+    return spark.createDataFrame(golds, schema=schemas.GOLD_TRIPLES)
+
+
+def _alias_df(spark: SparkSession) -> DataFrame:
+    from .synth import alias_rows
+    return spark.createDataFrame(alias_rows(), schema=schemas.ALIAS_DICT)
+
+
+def q_kg_triples(spark, sf_dir):
+    """Flagship: the full five-stage pipeline."""
+    from .pipeline import run_pipeline
+    pages = pages_from_documents(spark, sf_dir)
+    triples = run_pipeline(spark, pages, _alias_df(spark), PipelineConfig())
+    return triples.select("url", "sent_idx", "subj_id", "pred", "obj_id",
+                          F.round("score", 4).alias("score"))
+
+
+def q_kg_entities(spark, sf_dir):
+    """Stage-2 NER output (exploded mentions)."""
+    from .pipeline import (repartition_by_length, stage_extract,
+                           stage_mentions, stage_ner, stage_sentences)
+    cfg = PipelineConfig()
+    pages = pages_from_documents(spark, sf_dir)
+    sent_ents = stage_ner(
+        repartition_by_length(stage_sentences(stage_extract(pages)), cfg), cfg)
+    return stage_mentions(sent_ents).select(
+        "url", "sent_idx", "word", "label", "begin", "end")
+
+
+def q_kg_linked(spark, sf_dir):
+    """Stage-4 resolution output."""
+    from .pipeline import (repartition_by_length, stage_extract, stage_link,
+                           stage_mentions, stage_ner, stage_sentences)
+    cfg = PipelineConfig()
+    pages = pages_from_documents(spark, sf_dir)
+    sent_ents = stage_ner(
+        repartition_by_length(stage_sentences(stage_extract(pages)), cfg), cfg)
+    mentions = stage_mentions(sent_ents)
+    return stage_link(mentions, _alias_df(spark), cfg).select(
+        "url", "sent_idx", "word", "label", "norm", "entity_id")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    # text analysis
+    "doc_token_count": q_doc_token_count,
+    "doc_stopword_stats": q_doc_stopword_stats,
+    "doc_quality": q_doc_quality,
+    # dedup family
+    "exact_dedup": q_exact_dedup,
+    "minhash_signature": q_minhash_signature,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    # similarity search
+    "embedding_topk": q_embedding_topk,
+    # relational inventory
+    "topk_per_group": q_topk_per_group,
+    "share_in_group": q_share_in_group,
+    "product_agg": q_product_agg,
+    "broadcast_join": q_broadcast_join,
+    "dedup_rows": q_dedup_rows,
+    "explode_words": q_explode_words,
+    "argmax_per_group": q_argmax_per_group,
+    "sessionize": q_sessionize,
+    # KG pipeline (rows-only)
+    "kg_triples": q_kg_triples,
+    "kg_entities": q_kg_entities,
+    "kg_linked": q_kg_linked,
+}
+
+ORACLES = {
+    "doc_token_count": SQL_DOC_TOKEN_COUNT,
+    "doc_stopword_stats": SQL_DOC_STOPWORD_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_signature": SQL_MINHASH_SIGNATURE,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "share_in_group": SQL_SHARE_IN_GROUP,
+    "product_agg": SQL_PRODUCT_AGG,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "dedup_rows": SQL_DEDUP_ROWS,
+    "explode_words": SQL_EXPLODE_WORDS,
+    "argmax_per_group": SQL_ARGMAX_PER_GROUP,
+    "sessionize": SQL_SESSIONIZE,
+    # kg_* intentionally absent (non-SQL-expressible model pipeline)
+}

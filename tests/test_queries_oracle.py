@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row count + (order-insensitive) values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("KG_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as mod
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _compare(name, spark_df, con, sql):
+    got_cols = sorted(spark_df.columns)
+    got = _canon([r.asDict() for r in spark_df.collect()], got_cols)
+    odf = con.execute(sql).fetchdf()
+    want_cols = sorted(odf.columns.tolist())
+    assert got_cols == want_cols, f"{name}: columns {got_cols} != {want_cols}"
+    want = _canon(odf.to_dict("records"), want_cols)
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    mismatch = [(a, b) for a, b in zip(got, want) if a != b][:5]
+    assert got == want, f"{name}: first mismatches {mismatch}"
+
+
+def test_all_oracled_queries_match(spark, entry_mod, ddb):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, sql in oracles.items():
+        df = qs[name](spark, SF_DIR)
+        try:
+            _compare(name, df, ddb, sql)
+        except Exception as e:
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:350]}")
+    assert not failures, "\n---\n".join(failures)
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # non-oracled entries are exactly the model-pipeline ops
+    assert set(qs) - set(oracles) == {"kg_triples", "kg_entities", "kg_linked"}
+
+
+def test_entry_returns_rows(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"url", "sent_idx", "subj_id", "pred",
+                               "obj_id", "score"}
+
+
+def test_kg_triples_match_gold(spark, entry_mod):
+    """The rows-only KG query still has an exact oracle — construction-time
+    gold — even though it is not SQL-expressible."""
+    from kgforge.metrics import triple_pr
+    from kgforge.queries import gold_for_documents, q_kg_triples
+
+    triples = q_kg_triples(spark, SF_DIR)
+    gold = gold_for_documents(spark, SF_DIR)
+    pr = triple_pr(triples, gold)
+    assert pr.precision >= 0.95 and pr.recall >= 0.95, pr
