@@ -116,6 +116,7 @@ class StandInTokenClassifier:
         input_ids: np.ndarray,
         attention_mask: np.ndarray,
         continuation_mask: np.ndarray | None = None,
+        token_texts: np.ndarray | None = None,
     ) -> np.ndarray:
         b, t = input_ids.shape
         logits = _hash_noise(input_ids, self.n_labels, self.seed)
@@ -131,6 +132,94 @@ class StandInTokenClassifier:
         logits[rows[0], rows[1], label_ids] += bump
         logits[..., 0] += np.where(label_ids == 0, 6.0, 0.0)
         return logits
+
+
+class StandInPOSTagger:
+    """Deterministic POS head (reference: src/pipelines/pos_tagging.rs uses
+    the same token-classification machinery with a POS label map, :262-290).
+    Labels come from textops.pos_tag_word applied to the word-initial piece;
+    continuations inherit (same mechanism as the NER stand-in)."""
+
+    def __init__(self, seed: int = 42):
+        from .textops import POS_LABELS
+        self.labels = POS_LABELS
+        self.n_labels = len(self.labels)
+        self.seed = seed
+
+    def forward(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        continuation_mask: np.ndarray | None = None,
+        token_texts: np.ndarray | None = None,
+    ) -> np.ndarray:
+        from .textops import POS_LABEL2ID, pos_tag_word
+        b, t = input_ids.shape
+        label_ids = np.zeros((b, t), dtype=np.int64)
+        if token_texts is not None:
+            for i in range(b):
+                for j in range(t):
+                    piece = token_texts[i][j]
+                    if not piece:
+                        continue
+                    if piece.startswith("##"):
+                        label_ids[i, j] = label_ids[i, j - 1] if j else 0
+                    else:
+                        label_ids[i, j] = POS_LABEL2ID[pos_tag_word(piece)]
+        logits = _hash_noise(input_ids, self.n_labels, self.seed)
+        rows = np.arange(b)[:, None], np.arange(t)[None, :]
+        logits[rows[0], rows[1], label_ids] += 8.0
+        return logits
+
+
+class StandInSeqClassifier:
+    """Deterministic sequence-classification head (reference:
+    src/pipelines/sequence_classification.rs:729-775; sentiment wrapper
+    src/pipelines/sentiment.rs:184-213). Logits from lexicon counts; the
+    softmax/argmax and multilabel-sigmoid paths are the reference math."""
+
+    id2label = {0: "Negative", 1: "Positive"}
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def forward_texts(self, texts: list[str]) -> np.ndarray:
+        """-> [N, 2] logits (Negative, Positive)."""
+        import re as _re
+        from .textops import NEGATIVE_LEX, POSITIVE_LEX
+        out = np.zeros((len(texts), 2), dtype=np.float64)
+        for i, text in enumerate(texts):
+            words = _re.findall(r"\w+", text.lower())
+            out[i, 0] = sum(1 for w in words if w in NEGATIVE_LEX)
+            out[i, 1] = sum(1 for w in words if w in POSITIVE_LEX) + 0.5
+        return out
+
+    def predict(self, texts: list[str]) -> list[dict]:
+        """Single-label: softmax(-1) -> argmax -> gathered score
+        (sequence_classification.rs:745-775)."""
+        logits = self.forward_texts(texts)
+        probs = softmax(logits, axis=-1)
+        ids = np.argmax(probs, axis=-1)
+        return [
+            {"text": t, "id": int(i), "label": self.id2label[int(i)],
+             "score": float(probs[k, i]), "sentence": k}
+            for k, (t, i) in enumerate(zip(texts, ids))
+        ]
+
+    def predict_multilabel(self, texts: list[str], threshold: float = 0.5) -> list[list[dict]]:
+        """Multi-label: per-logit sigmoid, keep score >= threshold
+        (sequence_classification.rs:799-846)."""
+        logits = self.forward_texts(texts)
+        probs = 1.0 / (1.0 + np.exp(-logits))
+        out = []
+        for k, t in enumerate(texts):
+            row = [
+                {"text": t, "id": i, "label": self.id2label[i],
+                 "score": float(probs[k, i]), "sentence": k}
+                for i in range(probs.shape[1]) if probs[k, i] >= threshold
+            ]
+            out.append(row)
+        return out
 
 
 class StandInNLI:

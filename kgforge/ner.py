@@ -101,7 +101,16 @@ def predict_tokens(
     for start in range(0, len(features), cfg.batch_size):
         batch = features[start:start + cfg.batch_size]
         ids, attn, cont = _pad_features(batch)
-        logits = encoder.forward(ids, attn, cont)
+        piece_texts = [
+            [
+                ("##" if f.masks[p] == MASK_CONTINUATION else "")
+                + texts[f.example_index][f.begins[p]:f.ends[p]]
+                if f.begins[p] >= 0 else ""
+                for p in range(len(f.input_ids))
+            ] + [""] * (ids.shape[1] - len(f.input_ids))
+            for f in batch
+        ]
+        logits = encoder.forward(ids, attn, cont, piece_texts)
         scores = softmax(logits, axis=-1)
         label_idx = np.argmax(scores, axis=-1)
         for bi, feat in enumerate(batch):
@@ -135,6 +144,25 @@ def predict_tokens(
     if consolidate_sub_tokens:
         return [consolidate_tokens(toks, cfg.label_aggregation) for toks in example_tokens]
     return example_tokens
+
+
+def predict_pos(texts: list[str], cfg: PipelineConfig, seed: int = 42) -> list[list[dict]]:
+    """POS tagging (reference: POSModel::predict, pos_tagging.rs:262-290):
+    identical machinery with a POS head, return_special=False, word-level
+    consolidation; emits POSTag{word, score, label} per word."""
+    from .encoders import StandInPOSTagger
+    from .textops import POS_LABELS
+
+    tagger = StandInPOSTagger(seed=seed)
+    token_lists = predict_tokens(
+        texts, tagger, cfg, consolidate_sub_tokens=True,
+        return_special=False, labels=POS_LABELS,
+    )
+    return [
+        [{"word": t.text, "score": t.score, "label": t.label,
+          "begin": t.begin, "end": t.end} for t in toks]
+        for toks in token_lists
+    ]
 
 
 def _consolidate_label(group: list[Token], aggregation: str) -> tuple[int, str]:

@@ -89,6 +89,41 @@ def stage_sentences(extracted: DataFrame) -> DataFrame:
     return extracted.mapInPandas(gen, schema=schemas.SENTENCES)
 
 
+def stage_extract_sentences(
+    pages: DataFrame, langs: tuple[str, ...] = ("en",)
+) -> DataFrame:
+    """Fused stage 1 + 2a: one Python eval instead of two.
+
+    Each Python expression in a pipelined task chain holds its OWN worker
+    process concurrently (Arrow streams through all of them), so every fused
+    eval removes width x (worker spawn + numpy/pandas import) overhead —
+    measured at ~2 CPU-seconds per worker, the dominant fixed cost at high
+    parallelism. Same rationale as the reference doing featurize+forward in
+    one process instead of piping between binaries."""
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("url", "sent_idx", "sent_begin", "sentence", "n_tok", "bucket")}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text(bytes(html)) if html is not None else ""
+                for i, (begin, sent) in enumerate(split_sentences(text)):
+                    n_tok = _piece_count(sent)
+                    out["url"].append(url)
+                    out["sent_idx"].append(i)
+                    out["sent_begin"].append(begin)
+                    out["sentence"].append(sent)
+                    out["n_tok"].append(n_tok)
+                    out["bucket"].append(int(math.ceil(math.log2(n_tok + 1))))
+            yield pd.DataFrame(out)
+
+    return (
+        pages
+        .where(F.col("lang").isin(list(langs)))   # pushed to the scan
+        .select("url", "html")                    # column pruning
+        .mapInPandas(gen, schema=schemas.SENTENCES)
+    )
+
+
 def repartition_by_length(sentences: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Anti-skew shuffle: hash-partition on (length bucket, salted url hash)
     then sort within partitions by token count — Arrow batches downstream see
@@ -160,6 +195,59 @@ def stage_candidates(sentence_entities: DataFrame, cfg: PipelineConfig) -> DataF
     )
 
 
+def stage_candidates_score(sent_ents: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Fused stage 3: candidate generation + NLI scoring + threshold in ONE
+    Python eval (see stage_extract_sentences for why fusion matters). The
+    <2-entities gate still runs JVM-side before any Python."""
+    max_dist = cfg.max_pair_distance
+    bsz, thr = cfg.batch_size, cfg.relation_threshold
+    out_cols = ["url", "sent_idx", "sentence",
+                "subj_word", "subj_type", "subj_begin", "subj_end",
+                "obj_word", "obj_type", "obj_begin", "obj_end",
+                "pred", "hypothesis"]
+    out_schema = StructType(
+        [schemas.SENTENCES.fields[0], schemas.SENTENCES.fields[1],
+         StructField("sentence", StringType(), False)]
+        + list(schemas.CANDIDATE.fields)
+        + [StructField("score", DoubleType(), False)]
+    )
+
+    def gen(batches):
+        nli = get_nli(cfg.seed)
+        for pdf in batches:
+            rows = {c: [] for c in out_cols}
+            for url, sent_idx, sentence, ents in zip(
+                    pdf["url"], pdf["sent_idx"], pdf["sentence"], pdf["entities"]):
+                for c in generate_candidates(list(ents), max_dist):
+                    rows["url"].append(url)
+                    rows["sent_idx"].append(sent_idx)
+                    rows["sentence"].append(sentence)
+                    rows["subj_word"].append(c.subj_word)
+                    rows["subj_type"].append(c.subj_type)
+                    rows["subj_begin"].append(c.subj_begin)
+                    rows["subj_end"].append(c.subj_end)
+                    rows["obj_word"].append(c.obj_word)
+                    rows["obj_type"].append(c.obj_type)
+                    rows["obj_begin"].append(c.obj_begin)
+                    rows["obj_end"].append(c.obj_end)
+                    rows["pred"].append(c.pred)
+                    rows["hypothesis"].append(c.hypothesis)
+            out = pd.DataFrame(rows)
+            if len(out):
+                out["score"] = score_candidates(
+                    out["sentence"].tolist(), out["hypothesis"].tolist(), nli, bsz)
+                out = out[out["score"] >= thr]
+            else:
+                out["score"] = pd.Series(dtype="float64")
+            yield out
+
+    return (
+        sent_ents
+        .where(F.size("entities") >= 2)
+        .mapInPandas(gen, schema=out_schema)
+    )
+
+
 def stage_score(candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
     seed, bsz, thr = cfg.seed, cfg.batch_size, cfg.relation_threshold
     out_schema = StructType(candidates.schema.fields + [
@@ -193,6 +281,8 @@ def normalize_udf(word: pd.Series) -> pd.Series:
 
 
 def stage_mentions(sentence_entities: DataFrame) -> DataFrame:
+    """Pure-JVM explode (no Python eval); normalization happens inside the
+    linking stage's single Python eval."""
     return (
         sentence_entities
         .select("url", "sent_idx", "sentence", F.explode("entities").alias("e"))
@@ -201,48 +291,50 @@ def stage_mentions(sentence_entities: DataFrame) -> DataFrame:
             F.col("e.word").alias("word"), F.col("e.label").alias("label"),
             F.col("e.begin").alias("begin"), F.col("e.end").alias("end"),
         )
-        .withColumn("norm", normalize_udf("word"))
     )
 
 
 def stage_link(mentions: DataFrame, alias_dict: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Broadcast alias join, then embedding rerank for ambiguous aliases.
-    Output: RESOLVED (entity_id null => unresolved)."""
+    """Alias-dictionary resolution + embedding rerank for ambiguous aliases.
+
+    The dictionary is the SMALL side (that is why the north star broadcasts
+    it); we pre-aggregate it per alias and ship it as an explicit Spark
+    broadcast variable, so resolution is map-side over the mention stream —
+    the big side is NEVER shuffled. (A broadcast hash JOIN would also avoid
+    a shuffle, but the 1-alias-to-N-entities fanout would then need a
+    groupBy-per-occurrence to regroup candidates — a full shuffle of all
+    mentions — which this formulation eliminates.)
+
+    Output: RESOLVED (entity_id null => unresolved).
+    """
     dim, seed = cfg.embedding_dim, cfg.seed
-    joined = mentions.join(
-        F.broadcast(alias_dict.select("alias", "entity_id", "desc", "prior")),
-        mentions["norm"] == alias_dict["alias"],
-        "left",
-    )
-    grouped = (
-        joined
-        .groupBy("url", "sent_idx", "begin", "end")
-        .agg(
-            F.first("sentence").alias("sentence"),
-            F.first("word").alias("word"),
-            F.first("label").alias("label"),
-            F.first("norm").alias("norm"),
-            F.collect_list(F.struct("entity_id", "desc", "prior")).alias("cands"),
-        )
-    )
+    # tiny driver-side aggregation of the dimension table
+    alias_map: dict[str, list[tuple[str, str, float]]] = {}
+    for r in alias_dict.select("alias", "entity_id", "desc", "prior").collect():
+        alias_map.setdefault(r["alias"], []).append(
+            (r["entity_id"], r["desc"], float(r["prior"])))
+    for v in alias_map.values():  # deterministic candidate order
+        v.sort()
+    bc = mentions.sparkSession.sparkContext.broadcast(alias_map)
 
     def gen(batches):
         emb = get_embedder(dim, seed)
+        amap = bc.value
         for pdf in batches:
+            norms = [normalize_mention(w) for w in pdf["word"]]
+            pdf = pdf.assign(norm=norms)
             ids: list[str | None] = [None] * len(pdf)
             amb_idx, amb_ctx, amb_cands = [], [], []
-            for i, cands in enumerate(pdf["cands"]):
-                cands = list(cands)
-                if len(cands) == 0:
+            for i, norm in enumerate(norms):
+                cands = amap.get(norm)
+                if not cands:
                     continue
                 if len(cands) == 1:
-                    ids[i] = cands[0]["entity_id"]
+                    ids[i] = cands[0][0]
                 else:
                     amb_idx.append(i)
                     amb_ctx.append(pdf["sentence"].iloc[i])
-                    amb_cands.append(
-                        [(c["entity_id"], c["desc"], c["prior"]) for c in cands]
-                    )
+                    amb_cands.append(cands)
             if amb_idx:
                 picked = rerank_ambiguous(amb_ctx, amb_cands, emb)
                 for i, eid in zip(amb_idx, picked):
@@ -252,7 +344,7 @@ def stage_link(mentions: DataFrame, alias_dict: DataFrame, cfg: PipelineConfig) 
             out["entity_id"] = ids
             yield out
 
-    return grouped.mapInPandas(gen, schema=schemas.RESOLVED)
+    return mentions.mapInPandas(gen, schema=schemas.RESOLVED)
 
 
 # --------------------------------------------------------------------------
@@ -266,25 +358,30 @@ def _occ_node(prefix: str = "o:") -> F.Column:
 
 def stage_canon(resolved: DataFrame, mentions: DataFrame,
                 max_cc_iterations: int = 20) -> DataFrame:
-    """Same-as evidence edges -> connected components -> occurrence->canonical.
+    """Same-as evidence -> connected components -> occurrence->canonical.
 
-    Edges:
-      o:occurrence — e:entity        (dictionary/ANN-resolved mentions)
-      o:occurrence — s:norm          (unresolved mentions cluster by surface)
+    Dictionary/ANN-resolved occurrences already have a canonical id (the
+    entity), so they NEVER enter the graph — that keeps two entities sharing
+    an ambiguous alias from being merged, and shrinks the CC input from
+    O(mention occurrences) to O(distinct unresolved surfaces), which is the
+    property that keeps this stage viable at 10^12 documents (surface
+    vocabulary grows sub-linearly in corpus size).
+
+    Graph over surface nodes only:
+      s:norm       — s:norm          (self edge: every unresolved surface)
       s:last_word  — s:full_norm     (within-page partial-name coreference)
-    Prefix order 'e:' < 'o:' < 's:' makes a linked entity the component min,
-    so canonical ids are entity ids whenever a component contains one.
+    Component canonical = min surface node id (deterministic).
     """
     occ = resolved.withColumn("node", _occ_node())
-    resolved_edges = (
+    resolved_map = (
         occ.where(F.col("entity_id").isNotNull())
-        .select(F.col("node").alias("src"),
-                F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"))
+        .select("node", F.col("entity_id").alias("canonical_id"))
     )
     unresolved = occ.where(F.col("entity_id").isNull())
-    surface_edges = unresolved.select(
-        F.col("node").alias("src"),
-        F.concat(F.lit("s:"), F.col("norm")).alias("dst"),
+    surface_nodes = (
+        unresolved.select(F.concat(F.lit("s:"), F.col("norm")).alias("src"))
+        .distinct()
+        .withColumn("dst", F.col("src"))       # self edge keeps singletons
     )
     multiword = (
         mentions.select(F.col("url").alias("m_url"), F.col("norm").alias("full_norm"))
@@ -302,17 +399,28 @@ def stage_canon(resolved: DataFrame, mentions: DataFrame,
                 F.concat(F.lit("s:"), F.col("full_norm")).alias("dst"))
         .distinct()
     )
-    edges = resolved_edges.unionByName(surface_edges).unionByName(coref_edges)
-    cc = connected_components(edges, max_iterations=max_cc_iterations)
-    return (
-        cc.where(F.col("node").startswith("o:"))
-        .select(
-            F.col("node"),
-            F.when(F.col("component").startswith("e:"),
-                   F.expr("substring(component, 3)"))
-             .otherwise(F.col("component")).alias("canonical_id"),
-        )
+    edges = surface_nodes.unionByName(coref_edges).localCheckpoint(eager=True)
+    # scale-adaptive physical strategy (AQE-style): the surface graph is
+    # usually tiny relative to the corpus — solve it driver-side and avoid
+    # ~2 jobs per CC round; past the threshold, run the distributed
+    # large-star/small-star operator.
+    if edges.count() <= 200_000:
+        from .canon import cc_unionfind
+        comp = cc_unionfind([(r["src"], r["dst"]) for r in edges.collect()])
+        spark = resolved.sparkSession
+        cc = F.broadcast(spark.createDataFrame(
+            [(k, v) for k, v in comp.items()],
+            schema="surf string, component string"))
+    else:
+        cc = connected_components(
+            edges, max_iterations=max_cc_iterations
+        ).withColumnRenamed("node", "surf")
+    unresolved_map = (
+        unresolved.select("node", F.concat(F.lit("s:"), F.col("norm")).alias("surf"))
+        .join(cc, "surf")
+        .select("node", F.col("component").alias("canonical_id"))
     )
+    return resolved_map.unionByName(unresolved_map)
 
 
 def stage_triples(scored: DataFrame, canon_map: DataFrame) -> DataFrame:
@@ -363,20 +471,26 @@ def run_pipeline(
     ch = cfg.config_hash()
     mh = f"{cfg.model_name}:{extractor_hash()}"
 
-    extracted = checkpointed(lambda: stage_extract(pages), spark, workdir,
-                             "s1_extract", ch, mh)
     sentences = checkpointed(
-        lambda: repartition_by_length(stage_sentences(extracted), cfg),
-        spark, workdir, "s2a_sentences", ch, mh)
+        lambda: repartition_by_length(stage_extract_sentences(pages), cfg),
+        spark, workdir, "s1_sentences", ch, mh)
     sent_ents = checkpointed(lambda: stage_ner(sentences, cfg), spark, workdir,
-                             "s2b_ner", ch, mh)
+                             "s2_ner", ch, mh)
+    if workdir is None:
+        # sent_ents feeds BOTH the scoring branch and the linking branch;
+        # without a parquet checkpoint, persist so inference runs once
+        sent_ents = sent_ents.persist()
     scored = checkpointed(
-        lambda: stage_score(stage_candidates(sent_ents, cfg), cfg),
+        lambda: stage_candidates_score(sent_ents, cfg),
         spark, workdir, "s3_scored", ch, mh)
-    mentions = stage_mentions(sent_ents)
-    resolved = checkpointed(lambda: stage_link(mentions, alias_dict, cfg),
-                            spark, workdir, "s4_resolved", ch, mh)
-    canon_map = stage_canon(resolved, mentions)
+    resolved = checkpointed(
+        lambda: stage_link(stage_mentions(sent_ents), alias_dict, cfg),
+        spark, workdir, "s4_resolved", ch, mh)
+    if workdir is None:
+        resolved = resolved.persist()
+    # resolved carries (url, norm) so it doubles as the coref mention source;
+    # canon_map is joined twice (subj + obj) — always persist
+    canon_map = stage_canon(resolved, resolved).persist()
     triples = checkpointed(lambda: stage_triples(scored, canon_map),
                            spark, workdir, "s5_triples", ch, mh)
     return triples

@@ -279,6 +279,197 @@ FROM w
 
 
 # --------------------------------------------------------------------------
+# model-stage operators with engine-exact SQL heads (textops)
+# --------------------------------------------------------------------------
+
+def q_pos_tags(spark, sf_dir):
+    """POS tagging: the rule head is exactly expressible in SQL, so this
+    'model' stage gets a full-value oracle (reference machinery:
+    pos_tagging.rs:262-290; rules in kgforge.textops)."""
+    from .textops import pos_case_sql
+    words = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .withColumn("tag", F.expr(pos_case_sql("word", "spark")))
+    )
+
+
+def _sql_pos_tags():
+    from .textops import pos_case_sql
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_extract_all(text, '\\w+|[^\\w\\s]'),
+                (x, i) -> struct_pack(pos := CAST(i - 1 AS INT), word := x)),
+                recursive := true)
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, pos, word, {pos_case_sql("word", "duckdb")} AS tag FROM w
+"""
+
+
+def q_sentiment(spark, sf_dir):
+    """Sentiment (reference: sentiment.rs Positive/Negative head): lexicon
+    counts + exact-ratio score — engine-exact."""
+    from .textops import NEGATIVE_LEX, POSITIVE_LEX
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n_pos = F.size(F.filter(words, lambda x: x.isin(*POSITIVE_LEX)))
+    n_neg = F.size(F.filter(words, lambda x: x.isin(*NEGATIVE_LEX)))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            n_pos.alias("n_pos"),
+            n_neg.alias("n_neg"),
+            F.when(n_pos >= n_neg, "Positive").otherwise("Negative").alias("polarity"),
+            ((n_pos + 1).cast("double") / (n_pos + n_neg + 2).cast("double"))
+                .alias("score"),
+        )
+    )
+
+
+def _sql_sentiment():
+    from .textops import NEGATIVE_LEX, POSITIVE_LEX
+    pos_list = ", ".join(f"'{w}'" for w in POSITIVE_LEX)
+    neg_list = ", ".join(f"'{w}'" for w in NEGATIVE_LEX)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(list_filter(words, x -> x IN ({pos_list}))) AS n_pos,
+         len(list_filter(words, x -> x IN ({neg_list}))) AS n_neg
+  FROM w
+)
+SELECT doc_id, CAST(n_pos AS INT) AS n_pos, CAST(n_neg AS INT) AS n_neg,
+       CASE WHEN n_pos >= n_neg THEN 'Positive' ELSE 'Negative' END AS polarity,
+       CAST(n_pos + 1 AS DOUBLE) / CAST(n_pos + n_neg + 2 AS DOUBLE) AS score
+FROM c
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints over distinct words with an explicit polynomial
+    hash — dedup primitive with an engine-exact value oracle."""
+    from .textops import simhash_sql
+    hs_expr, total_expr = simhash_sql("ws", "spark")
+    words = F.array_sort(F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", words.alias("ws"))
+        .withColumn("hs", F.expr(hs_expr))
+        .select("doc_id", F.expr(total_expr).alias("simhash"),
+                F.size("ws").alias("n_words"))
+    )
+
+
+def _sql_simhash():
+    from .textops import simhash_sql
+    hs_expr, total_expr = simhash_sql("ws", "duckdb")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS ws
+  FROM documents
+), h AS (
+  SELECT doc_id, ws, {hs_expr} AS hs FROM w
+)
+SELECT doc_id, {total_expr} AS simhash, CAST(len(ws) AS INT) AS n_words FROM h
+"""
+
+
+def q_keywords_freq(spark, sf_dir):
+    """Keyword extraction, frequency scorer: top-5 non-stopword words per doc
+    by (count desc, word asc) — the relational shape of the reference's
+    keyword top-k (scorer.rs:74-88); the cosine/MMR scorers are pytest-gated
+    in kgforge.keywords."""
+    from .keywords import STOPWORDS
+    from pyspark.sql import Window
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda x: (x != "") & ~x.isin(*sorted(STOPWORDS)),
+    )
+    exploded = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "word", "n", "rank")
+    )
+
+
+def _sql_keywords_freq():
+    from .keywords import STOPWORDS
+    sw = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '' AND x NOT IN ({sw}))) AS word
+  FROM documents
+), c AS (
+  SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word
+)
+SELECT doc_id, word, n, rank FROM (
+  SELECT doc_id, word, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rank
+  FROM c
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    embedding analog of the minhash-banded jaccard pairs)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("block"),
+                   F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("block"),
+                   F.col("v").alias("vb"))
+    return (
+        a.join(b, "block")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                (dot(F.col("va"), F.col("vb"))
+                 / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"))
+        .where(F.col("cos") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                     (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_transform(b.v, x -> x * x), (acc, x) -> acc + x)))
+           AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM sims WHERE cos >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
 # similarity search over embeddings
 # --------------------------------------------------------------------------
 
@@ -571,6 +762,24 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema=schemas.PAGES)
 
 
+def pages_synthetic(spark: SparkSession, n_pages: int,
+                    partitions: int | None = None) -> DataFrame:
+    """Deterministic pages table of arbitrary size, generated distributed
+    (index range -> mapInPandas): the scaling-bench input. Pure function of
+    the page index — identical bytes at any parallelism."""
+    parts = partitions or max(32, spark.sparkContext.defaultParallelism * 2)
+    idx = spark.range(0, n_pages, 1, parts)
+
+    def gen(batches):
+        from .synth import PageGen
+        pg = PageGen()
+        for pdf in batches:
+            rows = [pg.gen_page(int(i))[0] for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return idx.mapInPandas(gen, schema=schemas.PAGES)
+
+
 def gold_for_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold triples for pages_from_documents (same index keying)."""
     ids = [int(r["doc_id"]) for r in
@@ -600,24 +809,24 @@ def q_kg_triples(spark, sf_dir):
 
 def q_kg_entities(spark, sf_dir):
     """Stage-2 NER output (exploded mentions)."""
-    from .pipeline import (repartition_by_length, stage_extract,
-                           stage_mentions, stage_ner, stage_sentences)
+    from .pipeline import (repartition_by_length, stage_extract_sentences,
+                           stage_mentions, stage_ner)
     cfg = PipelineConfig()
     pages = pages_from_documents(spark, sf_dir)
     sent_ents = stage_ner(
-        repartition_by_length(stage_sentences(stage_extract(pages)), cfg), cfg)
+        repartition_by_length(stage_extract_sentences(pages), cfg), cfg)
     return stage_mentions(sent_ents).select(
         "url", "sent_idx", "word", "label", "begin", "end")
 
 
 def q_kg_linked(spark, sf_dir):
     """Stage-4 resolution output."""
-    from .pipeline import (repartition_by_length, stage_extract, stage_link,
-                           stage_mentions, stage_ner, stage_sentences)
+    from .pipeline import (repartition_by_length, stage_extract_sentences,
+                           stage_link, stage_mentions, stage_ner)
     cfg = PipelineConfig()
     pages = pages_from_documents(spark, sf_dir)
     sent_ents = stage_ner(
-        repartition_by_length(stage_sentences(stage_extract(pages)), cfg), cfg)
+        repartition_by_length(stage_extract_sentences(pages), cfg), cfg)
     mentions = stage_mentions(sent_ents)
     return stage_link(mentions, _alias_df(spark), cfg).select(
         "url", "sent_idx", "word", "label", "norm", "entity_id")
@@ -637,8 +846,14 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_fingerprint": q_doc_fingerprint,
+    # model-stage ops with SQL-exact heads
+    "pos_tags": q_pos_tags,
+    "sentiment": q_sentiment,
+    "simhash": q_simhash,
+    "keywords_freq": q_keywords_freq,
     # similarity search
     "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
     # relational inventory
     "topk_per_group": q_topk_per_group,
     "share_in_group": q_share_in_group,
@@ -662,7 +877,12 @@ ORACLES = {
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "pos_tags": _sql_pos_tags(),
+    "sentiment": _sql_sentiment(),
+    "simhash": _sql_simhash(),
+    "keywords_freq": _sql_keywords_freq(),
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "share_in_group": SQL_SHARE_IN_GROUP,
     "product_agg": SQL_PRODUCT_AGG,

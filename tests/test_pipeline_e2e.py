@@ -141,7 +141,7 @@ def test_unlinked_mentions_cluster_via_cc(spark, alias_df, cfg):
     sent_ents = stage_ner(stage_sentences(pages_df.select("url", "lang", "text")), cfg)
     mentions = stage_mentions(sent_ents)
     resolved = stage_link(mentions, alias_df, cfg)
-    canon = stage_canon(resolved, mentions)
+    canon = stage_canon(resolved, resolved)
     joined = (
         resolved.withColumn("node", F.concat(F.lit("o:"), F.concat_ws(
             "#", "url", "sent_idx", "begin", "end")))
