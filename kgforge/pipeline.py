@@ -125,17 +125,19 @@ def stage_extract_sentences(
 
 
 def repartition_by_length(sentences: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Anti-skew shuffle: hash-partition on (length bucket, salted url hash)
-    then sort within partitions by token count — Arrow batches downstream see
-    near-homogeneous sequence lengths (tight padding), and a hot domain's
-    sentences spread over ``salt_buckets`` tasks."""
+    """Anti-skew shuffle: uniform hash over (url, sent_idx) — every partition
+    gets the same row count AND the same length distribution (a hot domain or
+    a burst of giant documents cannot concentrate in one task) — then sort
+    within partitions by token count so consecutive Arrow batches are
+    length-homogeneous (tight padding; the reference pads to batch max,
+    token_classification.rs:1044-1090, so mixed lengths waste FLOPs).
+
+    Hashing on the length bucket itself would co-locate whole buckets and
+    reintroduce stragglers; the in-partition sort achieves the same batch
+    homogeneity without unbalancing partition work."""
     return (
         sentences
-        .repartition(
-            cfg.shuffle_partitions,
-            F.col("bucket"),
-            F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)),
-        )
+        .repartition(cfg.shuffle_partitions, F.xxhash64("url", "sent_idx"))
         .sortWithinPartitions("n_tok")
     )
 
@@ -294,6 +296,17 @@ def stage_mentions(sentence_entities: DataFrame) -> DataFrame:
     )
 
 
+def _collect_alias_map(alias_dict: DataFrame) -> dict[str, list[tuple[str, str, float]]]:
+    """Tiny driver-side aggregation of the alias dimension table."""
+    alias_map: dict[str, list[tuple[str, str, float]]] = {}
+    for r in alias_dict.select("alias", "entity_id", "desc", "prior").collect():
+        alias_map.setdefault(r["alias"], []).append(
+            (r["entity_id"], r["desc"], float(r["prior"])))
+    for v in alias_map.values():
+        v.sort()
+    return alias_map
+
+
 def stage_link(mentions: DataFrame, alias_dict: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Alias-dictionary resolution + embedding rerank for ambiguous aliases.
 
@@ -308,13 +321,7 @@ def stage_link(mentions: DataFrame, alias_dict: DataFrame, cfg: PipelineConfig) 
     Output: RESOLVED (entity_id null => unresolved).
     """
     dim, seed = cfg.embedding_dim, cfg.seed
-    # tiny driver-side aggregation of the dimension table
-    alias_map: dict[str, list[tuple[str, str, float]]] = {}
-    for r in alias_dict.select("alias", "entity_id", "desc", "prior").collect():
-        alias_map.setdefault(r["alias"], []).append(
-            (r["entity_id"], r["desc"], float(r["prior"])))
-    for v in alias_map.values():  # deterministic candidate order
-        v.sort()
+    alias_map = _collect_alias_map(alias_dict)
     bc = mentions.sparkSession.sparkContext.broadcast(alias_map)
 
     def gen(batches):
@@ -378,6 +385,38 @@ def stage_canon(resolved: DataFrame, mentions: DataFrame,
         .select("node", F.col("entity_id").alias("canonical_id"))
     )
     unresolved = occ.where(F.col("entity_id").isNull())
+    comp = surface_components(resolved, mentions, max_cc_iterations)
+    if isinstance(comp, dict):
+        spark = resolved.sparkSession
+        cc = F.broadcast(spark.createDataFrame(
+            [(k, v) for k, v in comp.items()],
+            schema="surf string, component string"))
+    else:
+        cc = comp
+    unresolved_map = (
+        unresolved.select("node", F.concat(F.lit("s:"), F.col("norm")).alias("surf"))
+        .join(cc, "surf")
+        .select("node", F.col("component").alias("canonical_id"))
+    )
+    return resolved_map.unionByName(unresolved_map)
+
+
+def surface_components(
+    resolved: DataFrame,
+    mentions: DataFrame | None = None,
+    max_cc_iterations: int = 20,
+    collect_threshold: int = 200_000,
+) -> dict[str, str] | DataFrame:
+    """Connected components over the UNRESOLVED-surface graph.
+
+    Scale-adaptive physical strategy (AQE-style): the surface graph is tiny
+    relative to the corpus (vocabulary, not occurrences), so under
+    ``collect_threshold`` edges it is solved driver-side with union-find and
+    returned as a dict (broadcastable); past the threshold the distributed
+    large-star/small-star operator runs and a (surf, component) DataFrame is
+    returned."""
+    mentions = mentions if mentions is not None else resolved
+    unresolved = resolved.where(F.col("entity_id").isNull())
     surface_nodes = (
         unresolved.select(F.concat(F.lit("s:"), F.col("norm")).alias("src"))
         .distinct()
@@ -400,27 +439,83 @@ def stage_canon(resolved: DataFrame, mentions: DataFrame,
         .distinct()
     )
     edges = surface_nodes.unionByName(coref_edges).localCheckpoint(eager=True)
-    # scale-adaptive physical strategy (AQE-style): the surface graph is
-    # usually tiny relative to the corpus — solve it driver-side and avoid
-    # ~2 jobs per CC round; past the threshold, run the distributed
-    # large-star/small-star operator.
-    if edges.count() <= 200_000:
+    if edges.count() <= collect_threshold:
         from .canon import cc_unionfind
-        comp = cc_unionfind([(r["src"], r["dst"]) for r in edges.collect()])
-        spark = resolved.sparkSession
-        cc = F.broadcast(spark.createDataFrame(
-            [(k, v) for k, v in comp.items()],
-            schema="surf string, component string"))
-    else:
-        cc = connected_components(
-            edges, max_iterations=max_cc_iterations
-        ).withColumnRenamed("node", "surf")
-    unresolved_map = (
-        unresolved.select("node", F.concat(F.lit("s:"), F.col("norm")).alias("surf"))
-        .join(cc, "surf")
-        .select("node", F.col("component").alias("canonical_id"))
+        return cc_unionfind([(r["src"], r["dst"]) for r in edges.collect()])
+    return connected_components(
+        edges, max_iterations=max_cc_iterations
+    ).withColumnRenamed("node", "surf")
+
+
+def stage_triples_inline(
+    scored: DataFrame,
+    alias_dict: DataFrame,
+    surface_comp: dict[str, str],
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """Canonical triples WITHOUT occurrence-level joins: candidate args are
+    resolved map-side against the broadcast alias dictionary (+ embedding
+    rerank on the sentence context, identical to stage_link) and the tiny
+    surface-component map from connected components. The only shuffle left
+    in stage 5 is the final (url, subj, pred, obj) dedup aggregation — the
+    two big scored ⋈ canon_map joins are gone. Resolution is deterministic,
+    so re-resolving here yields exactly stage_link's answer per occurrence."""
+    dim, seed = cfg.embedding_dim, cfg.seed
+    sc = scored.sparkSession.sparkContext
+    bc_alias = sc.broadcast(_collect_alias_map(alias_dict))
+    bc_cc = sc.broadcast(surface_comp)
+
+    def gen(batches):
+        emb = get_embedder(dim, seed)
+        amap, ccm = bc_alias.value, bc_cc.value
+        for pdf in batches:
+            resolved_cols = {}
+            for side in ("subj", "obj"):
+                words = pdf[f"{side}_word"]
+                ids: list[str] = [""] * len(pdf)
+                amb_idx, amb_ctx, amb_cands = [], [], []
+                for i, w in enumerate(words):
+                    norm = normalize_mention(w)
+                    cands = amap.get(norm)
+                    if not cands:
+                        surf = "s:" + norm
+                        ids[i] = ccm.get(surf, surf)
+                    elif len(cands) == 1:
+                        ids[i] = cands[0][0]
+                    else:
+                        amb_idx.append(i)
+                        amb_ctx.append(pdf["sentence"].iloc[i])
+                        amb_cands.append(cands)
+                if amb_idx:
+                    picked = rerank_ambiguous(amb_ctx, amb_cands, emb)
+                    for i, eid in zip(amb_idx, picked):
+                        ids[i] = eid
+                resolved_cols[f"{side}_id"] = ids
+            out = pdf[["url", "sent_idx", "pred", "subj_word", "obj_word",
+                       "score"]].copy()
+            out["subj_id"] = resolved_cols["subj_id"]
+            out["obj_id"] = resolved_cols["obj_id"]
+            yield out
+
+    from pyspark.sql.types import StructType as _St
+    out_schema = _St([
+        schemas.TRIPLES["url"], schemas.TRIPLES["sent_idx"],
+        schemas.TRIPLES["pred"], schemas.TRIPLES["subj_word"],
+        schemas.TRIPLES["obj_word"], schemas.TRIPLES["score"],
+        schemas.TRIPLES["subj_id"], schemas.TRIPLES["obj_id"],
+    ])
+    return (
+        scored.mapInPandas(gen, schema=out_schema)
+        .groupBy("url", "subj_id", "pred", "obj_id")
+        .agg(
+            F.min("sent_idx").alias("sent_idx"),
+            F.first("subj_word").alias("subj_word"),
+            F.first("obj_word").alias("obj_word"),
+            F.max("score").alias("score"),
+        )
+        .select("url", "sent_idx", "subj_id", "pred", "obj_id",
+                "subj_word", "obj_word", "score")
     )
-    return resolved_map.unionByName(unresolved_map)
 
 
 def stage_triples(scored: DataFrame, canon_map: DataFrame) -> DataFrame:
@@ -488,11 +583,19 @@ def run_pipeline(
         spark, workdir, "s4_resolved", ch, mh)
     if workdir is None:
         resolved = resolved.persist()
-    # resolved carries (url, norm) so it doubles as the coref mention source;
-    # canon_map is joined twice (subj + obj) — always persist
-    canon_map = stage_canon(resolved, resolved).persist()
-    triples = checkpointed(lambda: stage_triples(scored, canon_map),
-                           spark, workdir, "s5_triples", ch, mh)
+    # resolved carries (url, norm) so it doubles as the coref mention source
+    comp = surface_components(resolved, resolved)
+    if isinstance(comp, dict):
+        # common case: surface graph fit the driver -> broadcast it and
+        # resolve candidate args map-side (no occurrence-level joins)
+        triples = checkpointed(
+            lambda: stage_triples_inline(scored, alias_dict, comp, cfg),
+            spark, workdir, "s5_triples", ch, mh)
+    else:
+        # at-scale fallback: distributed CC + occurrence-keyed equi-joins
+        canon_map = stage_canon(resolved, resolved).persist()
+        triples = checkpointed(lambda: stage_triples(scored, canon_map),
+                               spark, workdir, "s5_triples", ch, mh)
     return triples
 
 

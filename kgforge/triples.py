@@ -75,6 +75,48 @@ def generate_candidates(
     return out
 
 
+def classify_zero_shot(
+    texts: list[str],
+    labels: list[str],
+    nli: StandInNLI,
+    template: str = "This example is about {}.",
+    multilabel: bool = False,
+) -> list[list[dict]]:
+    """Zero-shot classification entry point, both scoring modes.
+
+    - single-label: softmax of the ENTAILMENT logit across labels
+      (zero_shot_classification.rs:841-888, scoring :868);
+    - multilabel: per (text, label) pair softmax over
+      [contradiction, entailment] = logits[..., 0::2]
+      (zero_shot_classification.rs:983-1032, scoring :1009).
+
+    Empty inputs or labels raise, like the reference's error path
+    (tests/bart.rs:237-258)."""
+    if not texts or not labels:
+        raise ValueError("zero-shot classification requires non-empty inputs and labels")
+    from .encoders import multilabel_entailment_scores, single_label_scores
+
+    hypotheses = [template.format(label) for label in labels]
+    premises = [t for t in texts for _ in labels]           # cross join
+    hyps = hypotheses * len(texts)                           # (rs:730-738)
+    logits = nli.forward_pairs(premises, hyps)
+    logits = logits.reshape(len(texts), len(labels), 3)      # (rs:856-866)
+    if multilabel:
+        scores = multilabel_entailment_scores(logits)        # [n_texts, n_labels]
+        return [
+            [{"text": t, "label": labels[j], "id": j, "score": float(scores[i, j]),
+              "sentence": i} for j in range(len(labels))]
+            for i, t in enumerate(texts)
+        ]
+    scores = single_label_scores(logits[..., 2])
+    best = scores.argmax(axis=-1)
+    return [
+        [{"text": t, "label": labels[int(best[i])], "id": int(best[i]),
+          "score": float(scores[i, best[i]]), "sentence": i}]
+        for i, t in enumerate(texts)
+    ]
+
+
 def score_candidates(
     premises: list[str], hypotheses: list[str], nli: StandInNLI,
     batch_size: int = 64,

@@ -108,3 +108,45 @@ def test_score_candidates_batching_invariance(nli):
     s1 = score_candidates(prems, hyps, nli, batch_size=3)
     s2 = score_candidates(prems, hyps, nli, batch_size=64)
     assert np.array_equal(s1, s2)
+
+
+def test_classify_zero_shot_single_label(nli):
+    from kgforge.triples import classify_zero_shot
+    # structure of the reference zero-shot test (tests/bart.rs:204-234);
+    # scores recomputed under the stand-in NLI
+    out = classify_zero_shot(
+        ["Who are you voting for in 2020?"],
+        ["politics", "public health", "economics", "sports"], nli)
+    assert len(out) == 1 and len(out[0]) == 1
+    lab = out[0][0]
+    assert lab["label"] in ("politics", "public health", "economics", "sports")
+    assert 0 < lab["score"] <= 1
+    # single-label scores renormalize across labels
+    import numpy as np
+    from kgforge.encoders import single_label_scores
+    logits = nli.forward_pairs(
+        ["Who are you voting for in 2020?"] * 4,
+        [f"This example is about {l}." for l in
+         ("politics", "public health", "economics", "sports")])
+    expect = single_label_scores(logits[None, :, 2])
+    assert abs(lab["score"] - float(expect.max())) < 1e-12
+
+
+def test_classify_zero_shot_multilabel(nli):
+    from kgforge.triples import classify_zero_shot
+    out = classify_zero_shot(
+        ["Amy Silva lives in Paris."],
+        ["Amy Silva lives in Paris", "Amy Silva works for Paris"], nli,
+        template="{}.", multilabel=True)
+    scores = {o["label"]: o["score"] for o in out[0]}
+    assert scores["Amy Silva lives in Paris"] > 0.95
+    assert scores["Amy Silva works for Paris"] < 0.05
+
+
+def test_classify_zero_shot_empty_errors(nli):
+    import pytest as _pytest
+    from kgforge.triples import classify_zero_shot
+    with _pytest.raises(ValueError):
+        classify_zero_shot([], ["a"], nli)
+    with _pytest.raises(ValueError):
+        classify_zero_shot(["x"], [], nli)
