@@ -1,0 +1,56 @@
+"""Lineage manifests + resume semantics + materialized layout."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_manifest_records_lineage(spark, tmp_path):
+    from kgforge.checkpoint import try_resume, write_stage
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://d/"), F.col("id")).alias("url"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "stage_x")
+    out = write_stage(df, path, "stage_x", "cfg123", model_hash="m1")
+    assert out.count() == 100
+
+    meta = json.load(open(os.path.join(path, "_kg_manifest.json")))
+    assert meta["stage"] == "stage_x"
+    assert meta["config_hash"] == "cfg123"
+    assert meta["model_hash"] == "m1"
+    assert meta["rows"] == 100
+    assert meta["partitions"], "per-partition lineage missing"
+    assert sum(p["rows"] for p in meta["partitions"]) == 100
+    for p in meta["partitions"]:
+        assert "url_min" in p and "url_max" in p
+
+    # resume hit
+    resumed = try_resume(spark, path, "stage_x", "cfg123")
+    assert resumed is not None and resumed.count() == 100
+    # config change -> no resume (exactness guarantee)
+    assert try_resume(spark, path, "stage_x", "other") is None
+    assert try_resume(spark, path, "stage_y", "cfg123") is None
+
+
+def test_materialize_partitioned_by_pred(spark, tmp_path):
+    from kgforge.pipeline import materialize_triples
+
+    rows = [
+        ("https://a", 0, "PER_1", "lives_in", "LOC_1", "A", "B", 0.9),
+        ("https://b", 1, "PER_2", "works_for", "ORG_1", "C", "D", 0.8),
+    ]
+    from kgforge import schemas
+    df = spark.createDataFrame(rows, schema=schemas.TRIPLES)
+    out = str(tmp_path / "triples")
+    materialize_triples(df, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("pred=")}
+    assert dirs == {"pred=lives_in", "pred=works_for"}
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) == set(df.columns)
