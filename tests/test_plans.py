@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+``explain`` output — pushdown, column pruning, broadcast joins, no
+unnecessary shuffles (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet_scan(spark):
+    from kgforge.queries import q_pos_tags
+    plan = _plan(q_pos_tags(spark, SF))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]" in plan
+
+
+def test_column_pruning_on_documents(spark):
+    from kgforge.queries import q_doc_token_count
+    plan = _plan(q_doc_token_count(spark, SF))
+    # scan must read only doc_id + text, never lang/source/n_chars
+    scan_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in scan_line and "doc_id" in scan_line
+    assert "source" not in scan_line and "n_chars" not in scan_line
+
+
+def test_broadcast_join_strategy(spark):
+    from kgforge.queries import q_broadcast_join
+    plan = _plan(q_broadcast_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lang_filter_before_python_stage(spark, tiny_pages_df):
+    from kgforge.pipeline import stage_extract_sentences
+    plan = _plan(stage_extract_sentences(tiny_pages_df))
+    # the language filter must sit below (before) the Python eval
+    ix_filter = plan.find("Filter")
+    ix_py = plan.find("MapInPandas")
+    assert 0 <= ix_filter and 0 <= ix_py
+    assert "lang" in plan
+
+
+def test_link_stage_has_no_shuffle(spark, tiny_pages_df, alias_df):
+    """Entity linking must not shuffle the mention stream: no Exchange above
+    the NER output in the resolved plan (broadcast-dict map-side design)."""
+    from kgforge.config import PipelineConfig
+    from kgforge.pipeline import (stage_extract_sentences, stage_link,
+                                  stage_mentions, stage_ner)
+    cfg = PipelineConfig()
+    sent_ents = stage_ner(stage_extract_sentences(tiny_pages_df), cfg)
+    resolved = stage_link(stage_mentions(sent_ents), alias_df, cfg)
+    plan = _plan(resolved)
+    assert "Exchange" not in plan, plan
+
+
+def test_pipeline_has_single_bigdata_exchange(spark, tiny_pages_df, alias_df):
+    """The scored-candidates plan (pages -> sentences -> NER -> candidates ->
+    NLI) must contain exactly ONE Exchange: the length repartition."""
+    from kgforge.config import PipelineConfig
+    from kgforge.pipeline import (repartition_by_length,
+                                  stage_candidates_score,
+                                  stage_extract_sentences, stage_ner)
+    cfg = PipelineConfig()
+    scored = stage_candidates_score(
+        stage_ner(repartition_by_length(
+            stage_extract_sentences(tiny_pages_df), cfg), cfg), cfg)
+    import re
+    plan = _plan(scored)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
