@@ -524,6 +524,122 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_ann_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
+                         n_planes: int = 8, n_tables: int = 8):
+    """LSH-bucketed ANN top-k (the scale path; brute force above is the
+    exact baseline). Signatures are computed in one Arrow pass; candidate
+    generation is an equi-join on (table, bucket) — at corpus scale this is
+    the move that replaces the all-pairs cross join. Deterministic but
+    approximate, so no SQL oracle (recall vs brute force is pytest-gated)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    def sig_gen(batches):
+        import numpy as np
+        from .ann import hyperplanes, signatures
+        planes = None
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if planes is None and len(vecs):
+                planes = hyperplanes(vecs.shape[1], n_planes, n_tables, 42)
+            rows = {"vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "sigs": list(signatures(vecs, planes).astype("int64"))
+                    if len(vecs) else []}
+            yield pd.DataFrame(rows)
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    sig_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("sigs", ArrayType(LongType())),
+    ])
+    sigged = emb.mapInPandas(sig_gen, schema=sig_schema)
+    buckets = sigged.select(
+        "vec_id", "embedding", F.posexplode("sigs").alias("table_id", "bucket"))
+
+    q = (buckets.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"), "table_id", "bucket"))
+    c = buckets.select(F.col("vec_id").alias("corpus_id"),
+                       F.col("embedding").alias("cv"), "table_id", "bucket")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    cands = (
+        q.join(c, ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", "qv", "cv")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        cands
+        .withColumn("cos", dot(F.col("qv"), F.col("cv"))
+                    / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def q_kg_zero_shot(spark, sf_dir):
+    """Zero-shot classification over documents (reference zero-shot
+    single-label semantics: entailment softmax across labels); rows-only
+    (scoring math pytest-gated)."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    from .triples import classify_zero_shot
+    from .workers import get_nli
+
+    labels = ["data processing", "markets", "travel"]
+
+    def gen(batches):
+        nli = get_nli(42)
+        for pdf in batches:
+            texts = [str(t)[:200] for t in pdf["text"]]
+            if not texts:
+                yield pd.DataFrame({"doc_id": [], "label": [], "score": []})
+                continue
+            out = classify_zero_shot(texts, labels, nli)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "label": [o[0]["label"] for o in out],
+                "score": [round(o[0]["score"], 6) for o in out],
+            })
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("label", StringType()),
+            StructField("score", DoubleType()),
+        ]))
+
+
+def q_kg_doc_embeddings(spark, sf_dir):
+    """Sentence-embedding op over documents (reference sentence_embeddings
+    semantics: masked mean pooling + L2 normalize); rows-only check (the
+    pooling math is pytest-gated)."""
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+    from .workers import get_embedder
+
+    def gen(batches):
+        emb = get_embedder(64, 42)
+        for pdf in batches:
+            vecs = emb.encode([str(t) for t in pdf["text"]])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "embedding": [v.tolist() for v in vecs]})
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]))
+
+
 # --------------------------------------------------------------------------
 # relational-operator inventory (SURVEY §2.3) over the TPC-H-ish tables
 # --------------------------------------------------------------------------
@@ -854,6 +970,9 @@ QUERIES = {
     # similarity search
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_ann_topk": q_embedding_ann_topk,   # approximate; rows-only
+    "kg_doc_embeddings": q_kg_doc_embeddings,     # model op; rows-only
+    "kg_zero_shot": q_kg_zero_shot,               # model op; rows-only
     # relational inventory
     "topk_per_group": q_topk_per_group,
     "share_in_group": q_share_in_group,

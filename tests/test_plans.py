@@ -64,17 +64,25 @@ def test_link_stage_has_no_shuffle(spark, tiny_pages_df, alias_df):
     assert "Exchange" not in plan, plan
 
 
-def test_pipeline_has_single_bigdata_exchange(spark, tiny_pages_df, alias_df):
+def test_pipeline_has_single_bigdata_exchange(spark, alias_df):
     """The scored-candidates plan (pages -> sentences -> NER -> candidates ->
-    NLI) must contain exactly ONE Exchange: the length repartition."""
+    NLI) must contain exactly ONE Exchange: the length repartition.
+
+    Uses its own input DataFrame: the session-scoped fixture's plan may be
+    substituted by a cached (persisted) subtree from earlier e2e tests,
+    which changes the physical plan under test."""
+    from kgforge import schemas
     from kgforge.config import PipelineConfig
     from kgforge.pipeline import (repartition_by_length,
                                   stage_candidates_score,
                                   stage_extract_sentences, stage_ner)
+    from kgforge.synth import gen_pages
+    pages, _ = gen_pages(500, 520)
+    pages_df = spark.createDataFrame(pages, schema=schemas.PAGES)
     cfg = PipelineConfig()
     scored = stage_candidates_score(
         stage_ner(repartition_by_length(
-            stage_extract_sentences(tiny_pages_df), cfg), cfg), cfg)
+            stage_extract_sentences(pages_df), cfg), cfg), cfg)
     import re
     plan = _plan(scored)
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan

@@ -76,8 +76,11 @@ def test_all_oracled_queries_match(spark, entry_mod, ddb):
 def test_oracle_keys_subset_of_queries(entry_mod):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # non-oracled entries are exactly the model-pipeline ops
-    assert set(qs) - set(oracles) == {"kg_triples", "kg_entities", "kg_linked"}
+    # non-oracled entries are exactly the model-pipeline / approximate ops
+    assert set(qs) - set(oracles) == {
+        "kg_triples", "kg_entities", "kg_linked", "kg_doc_embeddings",
+        "kg_zero_shot", "embedding_ann_topk",
+    }
 
 
 def test_entry_returns_rows(spark, entry_mod):
