@@ -140,6 +140,8 @@ class StandInPOSTagger:
     Labels come from textops.pos_tag_word applied to the word-initial piece;
     continuations inherit (same mechanism as the NER stand-in)."""
 
+    needs_token_texts = True   # predict_tokens builds piece texts only on demand
+
     def __init__(self, seed: int = 42):
         from .textops import POS_LABELS
         self.labels = POS_LABELS

@@ -101,15 +101,18 @@ def predict_tokens(
     for start in range(0, len(features), cfg.batch_size):
         batch = features[start:start + cfg.batch_size]
         ids, attn, cont = _pad_features(batch)
-        piece_texts = [
-            [
-                ("##" if f.masks[p] == MASK_CONTINUATION else "")
-                + texts[f.example_index][f.begins[p]:f.ends[p]]
-                if f.begins[p] >= 0 else ""
-                for p in range(len(f.input_ids))
-            ] + [""] * (ids.shape[1] - len(f.input_ids))
-            for f in batch
-        ]
+        if getattr(encoder, "needs_token_texts", False):
+            piece_texts = [
+                [
+                    ("##" if f.masks[p] == MASK_CONTINUATION else "")
+                    + texts[f.example_index][f.begins[p]:f.ends[p]]
+                    if f.begins[p] >= 0 else ""
+                    for p in range(len(f.input_ids))
+                ] + [""] * (ids.shape[1] - len(f.input_ids))
+                for f in batch
+            ]
+        else:
+            piece_texts = None
         logits = encoder.forward(ids, attn, cont, piece_texts)
         scores = softmax(logits, axis=-1)
         label_idx = np.argmax(scores, axis=-1)

@@ -197,6 +197,72 @@ def stage_candidates(sentence_entities: DataFrame, cfg: PipelineConfig) -> DataF
     )
 
 
+def stage_ner_score(sentences: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Fused model stage: NER + consolidation + BIOES + candidate generation
+    + NLI scoring in ONE Python eval. The sentence stream crosses the
+    JVM<->Python boundary once for all model work; downstream branches are
+    pure-JVM explodes of the two array columns. (Separate stage_ner /
+    stage_candidates_score remain as the modular forms used by tests and
+    ad-hoc queries.)"""
+    seed = cfg.seed
+    cfg_kwargs = asdict(cfg)
+    scored_cand = StructType(
+        list(schemas.CANDIDATE.fields) + [StructField("score", DoubleType(), False)]
+    )
+    out_schema = StructType(
+        schemas.SENTENCES.fields[:4]
+        + [StructField("entities", ArrayType(schemas.ENTITY), False),
+           StructField("cands", ArrayType(scored_cand), False)]
+    )
+
+    def gen(batches):
+        local_cfg = PipelineConfig(**cfg_kwargs)
+        enc = get_token_classifier(seed)
+        nli = get_nli(seed)
+        for pdf in batches:
+            texts = pdf["sentence"].tolist()
+            token_lists = predict_tokens(texts, enc, local_cfg)
+            all_entities = []
+            row_cands: list[list[dict]] = []
+            flat_prem: list[str] = []
+            flat_hyp: list[str] = []
+            for text, toks in zip(texts, token_lists):
+                ents = consolidate_entities(toks)
+                eds = [{"word": e.word, "label": e.label, "score": e.score,
+                        "begin": e.begin, "end": e.end} for e in ents]
+                all_entities.append(eds)
+                if len(eds) >= 2:
+                    cands = [asdict(c) for c in
+                             generate_candidates(eds, local_cfg.max_pair_distance)]
+                else:
+                    cands = []
+                row_cands.append(cands)
+                for c in cands:
+                    flat_prem.append(text)
+                    flat_hyp.append(c["hypothesis"])
+            if flat_prem:
+                scores = score_candidates(flat_prem, flat_hyp, nli,
+                                          local_cfg.batch_size)
+            pos = 0
+            out_cands = []
+            for cands in row_cands:
+                kept = []
+                for c in cands:
+                    sc = float(scores[pos]); pos += 1
+                    if sc >= local_cfg.relation_threshold:
+                        c = dict(c)
+                        c["score"] = sc
+                        kept.append(c)
+                out_cands.append(kept)
+            yield pd.DataFrame({
+                "url": pdf["url"], "sent_idx": pdf["sent_idx"],
+                "sent_begin": pdf["sent_begin"], "sentence": pdf["sentence"],
+                "entities": all_entities, "cands": out_cands,
+            })
+
+    return sentences.mapInPandas(gen, schema=out_schema)
+
+
 def stage_candidates_score(sent_ents: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Fused stage 3: candidate generation + NLI scoring + threshold in ONE
     Python eval (see stage_extract_sentences for why fusion matters). The
@@ -276,11 +342,6 @@ def stage_score(candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
 # --------------------------------------------------------------------------
 # stage 4 — entity linking
 # --------------------------------------------------------------------------
-
-@F.pandas_udf(StringType())
-def normalize_udf(word: pd.Series) -> pd.Series:
-    return word.map(normalize_mention)
-
 
 def stage_mentions(sentence_entities: DataFrame) -> DataFrame:
     """Pure-JVM explode (no Python eval); normalization happens inside the
@@ -569,17 +630,20 @@ def run_pipeline(
     sentences = checkpointed(
         lambda: repartition_by_length(stage_extract_sentences(pages), cfg),
         spark, workdir, "s1_sentences", ch, mh)
-    sent_ents = checkpointed(lambda: stage_ner(sentences, cfg), spark, workdir,
-                             "s2_ner", ch, mh)
+    ner_scored = checkpointed(lambda: stage_ner_score(sentences, cfg),
+                              spark, workdir, "s2s3_ner_scored", ch, mh)
     if workdir is None:
-        # sent_ents feeds BOTH the scoring branch and the linking branch;
-        # without a parquet checkpoint, persist so inference runs once
-        sent_ents = sent_ents.persist()
-    scored = checkpointed(
-        lambda: stage_candidates_score(sent_ents, cfg),
-        spark, workdir, "s3_scored", ch, mh)
+        # feeds BOTH the triples branch and the linking branch; without a
+        # parquet checkpoint, persist so inference runs once
+        ner_scored = ner_scored.persist()
+    scored = (
+        ner_scored
+        .where(F.size("cands") >= 1)
+        .select("url", "sent_idx", "sentence", F.explode("cands").alias("c"))
+        .select("url", "sent_idx", "sentence", "c.*")
+    )
     resolved = checkpointed(
-        lambda: stage_link(stage_mentions(sent_ents), alias_dict, cfg),
+        lambda: stage_link(stage_mentions(ner_scored), alias_dict, cfg),
         spark, workdir, "s4_resolved", ch, mh)
     if workdir is None:
         resolved = resolved.persist()

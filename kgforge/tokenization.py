@@ -41,9 +41,14 @@ _SUBWORD_CHUNK = 4  # pieces of ≤4 chars → multi-piece words exercise consol
 _SENT_RE = re.compile(r"[^.!?\n]*[.!?]+|[^.!?\n]+", re.UNICODE)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 20)
 def token_id(piece: str) -> int:
     """Stable 31-bit vocab id from the piece text (md5-derived; deterministic
-    across processes, unlike Python's salted hash())."""
+    across processes, unlike Python's salted hash()). Cached: natural-language
+    piece vocabulary is small and highly repetitive."""
     h = hashlib.md5(piece.encode("utf-8")).digest()
     return N_RESERVED_IDS + (int.from_bytes(h[:4], "little") & 0x7FFFFFFF)
 
