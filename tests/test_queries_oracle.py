@@ -33,16 +33,16 @@ def ddb():
 
 
 def _canon(rows, cols):
+    """EXACT values (no tolerance): all oracles are engine-bit-exact by
+    design (verified empirically at sf0.01), so the local gate holds the
+    same bar as any value-hash the driver applies."""
     out = []
     for r in rows:
         vals = []
         for c in cols:
             v = r[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=repr)
