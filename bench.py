@@ -140,7 +140,8 @@ def run_kg_only(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
 
 
 def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
-                n_pages: int = 600_000, repeats: int = 2) -> dict:
+                n_pages: int = 600_000, repeats: int = 2,
+                samples_out: dict | None = None) -> dict:
     """N vs 4N parallelism evidence (north rule).
 
     Widths 2 and 8 rather than 8 and 32: this sandbox exposes 32 vCPUs but
@@ -154,6 +155,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
     hypervisor injects minute-scale noise (observed ±25% on identical runs),
     and min-of-N is the standard way to measure capability on shared hosts."""
     results = {}
+    samples: dict[int, list[float]] = {low: [], high: []}
     for cpus in (low, high):
         best = None
         for _ in range(repeats):
@@ -166,9 +168,12 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
             line = [l for l in out.stdout.strip().splitlines()
                     if l.startswith("{")][-1]
             r = json.loads(line)
+            samples[cpus].append(r["value"])
             if best is None or r["value"] < best["value"]:
                 best = r
         results[cpus] = best
+    if samples_out is not None:
+        samples_out.update(samples)
     tput_lo = results[low]["extra"]["triples_per_sec"]
     tput_hi = results[high]["extra"]["triples_per_sec"]
     eff = (tput_hi / tput_lo) / (high / low)
@@ -186,34 +191,50 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
             f"triples_per_sec_local{high}": tput_hi,
             "n_pages": results[high]["extra"]["n_pages"],
             "n_triples": results[high]["extra"]["n_triples"],
+            "samples": {str(k): v for k, v in samples.items()},
         },
     }
-    _write_baseline_md(report, low, high)
+    _write_baseline_md(report, low, high, samples)
     return report
 
 
-def _write_baseline_md(report: dict, low: int, high: int) -> None:
+def _write_baseline_md(report: dict, low: int, high: int,
+                       samples: dict[int, list[float]]) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     e = report["extra"]
     lines = [
         "# BENCH/BASELINE — measured scaling evidence",
         "",
-        "Two-cluster-size rule evidenced in-sandbox: identical KG job, same",
-        f"deterministic input ({e['n_pages']} pages from {report['sf']} documents),",
-        f"run at local[{low}] and local[{high}] in fresh JVMs.",
+        "Two-cluster-size rule (north rule: throughput scaling efficiency",
+        ">= 0.8 from N to 4N executors), evidenced in-sandbox: the IDENTICAL",
+        f"five-stage KG job on the IDENTICAL deterministic input ({e['n_pages']}",
+        "synthetic pages from kgforge.queries.pages_synthetic, a pure function",
+        f"of the page index; {e['n_triples']} triples emitted, P/R vs",
+        "construction-time gold gated in tests) at two parallelism levels in",
+        "fresh JVMs.",
         "",
-        "| parallelism | wall sec | triples/sec |",
-        "|---|---|---|",
-        f"| local[{low}] | {report['queries'][f'kg_local{low}']} | {e[f'triples_per_sec_local{low}']} |",
-        f"| local[{high}] | {report['queries'][f'kg_local{high}']} | {e[f'triples_per_sec_local{high}']} |",
+        f"Why local[{low}] vs local[{high}]: this sandbox advertises 32 vCPUs but",
+        "behaves like ~16 physical cores, and Spark local mode drives ~2 hot",
+        "threads per Spark core (JVM task thread + Python model worker);",
+        "beyond local[8] the box is oversubscribed and JVM-side CPU inflates",
+        f"superlinearly. {low} -> {high} is a true 4x of actually-parallel capacity.",
+        "",
+        "Noise handling: the hypervisor injects minute-scale noise (identical",
+        "runs spread +/-25%); each width runs repeatedly, BEST wall kept",
+        "(capability measurement). All samples listed. Reproduce:",
+        "`python bench.py --scaling`.",
+        "",
+        "| parallelism | samples (wall sec) | best | triples/sec (best) |",
+        "|---|---|---|---|",
+        f"| local[{low}] | {', '.join(str(s) for s in samples[low])} | "
+        f"{report['queries'][f'kg_local{low}']} | {e[f'triples_per_sec_local{low}']} |",
+        f"| local[{high}] | {', '.join(str(s) for s in samples[high])} | "
+        f"{report['queries'][f'kg_local{high}']} | {e[f'triples_per_sec_local{high}']} |",
         "",
         f"**Scaling efficiency ({low} -> {high} cores): "
         f"{report['value']:.3f}** (target >= 0.8 per BASELINE.json; "
         f"eff = (tput_{high}/tput_{low}) / ({high}/{low}))",
-        "",
-        f"Triples emitted: {e['n_triples']} (P/R vs construction-time gold "
-        "gated separately in tests/test_queries_oracle.py).",
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
