@@ -46,7 +46,9 @@ def write_stage(
     downstream plan reads from disk, cutting lineage like the reference's
     stage boundaries)."""
     spark = df.sparkSession
+    t0 = time.time()
     df.write.mode("overwrite").parquet(path)
+    elapsed = round(time.time() - t0, 3)
     out = spark.read.parquet(path)
 
     aggs = [F.count(F.lit(1)).alias("rows")]
@@ -65,6 +67,11 @@ def write_stage(
         "model_hash": model_hash,
         "rows": total,
         "created_unix": int(time.time()),
+        "metrics": {
+            "write_seconds": elapsed,
+            "rows_per_sec": round(total / elapsed, 2) if elapsed else None,
+            "n_partitions": len(per_part),
+        },
         "partitions": [r.asDict() for r in per_part],
     }
     with open(_manifest_path(path), "w") as f:

@@ -199,3 +199,28 @@ def test_length_bucketing_partitions_are_homogeneous(spark, tiny_pages_df, cfg):
     from pyspark.sql.types import BooleanType, StructField, StructType
     res = sents.mapInPandas(check, StructType([StructField("ok", BooleanType())]))
     assert all(r["ok"] for r in res.collect())
+
+
+def test_hot_domain_and_giant_doc_skew_balance(spark, cfg):
+    """Anti-skew contract: with 90% of pages on one domain plus giant
+    documents, the post-repartition sentence partitions stay balanced
+    (max/mean row ratio bounded)."""
+    from kgforge.pipeline import repartition_by_length, stage_sentences
+    from kgforge.synth import _filler_sentence
+    import random
+
+    rng = random.Random(0)
+    rows = []
+    for i in range(300):
+        domain = "hot.example.com" if i % 10 else f"cold{i}.example.com"
+        n_sent = 120 if i % 37 == 0 else rng.randint(2, 6)  # giant-doc tail
+        text = "t\n" + "\n".join(_filler_sentence(rng) for _ in range(n_sent))
+        rows.append({"url": f"https://{domain}/p/{i}", "lang": "en", "text": text})
+    df = spark.createDataFrame(rows)
+    sents = repartition_by_length(stage_sentences(df), cfg)
+    counts = [r["cnt"] for r in
+              sents.groupBy(F.spark_partition_id().alias("pid"))
+                   .agg(F.count(F.lit(1)).alias("cnt")).collect()]
+    assert len(counts) > 4
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 2.0 * mean, (sorted(counts), mean)
