@@ -70,3 +70,15 @@ def test_rerank_ambiguous_uses_context():
 def test_rerank_single_candidate_passthrough():
     emb = StandInEmbedder(dim=64)
     assert rerank_ambiguous(["any"], [[("E1", "desc", 1.0)]], emb) == ["E1"]
+
+
+def test_golden_embedding_values():
+    """Element-level golden asserts (the reference's sentence-embeddings test
+    style, tests/sentence_embeddings.rs:9-33; values recomputed under the
+    stand-in, pinned to 1e-4) — regression protection for the encoder."""
+    emb = StandInEmbedder(dim=64)
+    v = emb.encode(["this is an example sentence", "each sentence is converted"])
+    assert np.allclose(v[0][:6], [0.0, 0.19245, -0.19245, 0.0, 0.3849, 0.0],
+                       atol=1e-4)
+    assert np.allclose(v[1][:6], [0.0, 0.208514, -0.208514, 0.0, 0.0, 0.0],
+                       atol=1e-4)

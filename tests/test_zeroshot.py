@@ -150,3 +150,17 @@ def test_classify_zero_shot_empty_errors(nli):
         classify_zero_shot([], ["a"], nli)
     with _pytest.raises(ValueError):
         classify_zero_shot(["x"], [], nli)
+
+
+def test_golden_zero_shot_scores(nli):
+    """Exact-score golden case (the reference's zero-shot test style,
+    tests/bart.rs:265-307; values recomputed under the stand-in, 1e-4)."""
+    from kgforge.encoders import multilabel_entailment_scores, single_label_scores
+    prem = "Amy Silva lives in Paris."
+    labels = ["Amy Silva lives in Paris", "Amy Silva works for Paris",
+              "Paris lives in Amy Silva"]
+    logits = nli.forward_pairs([prem] * 3, [f"{l}." for l in labels])
+    ml = multilabel_entailment_scores(logits)
+    assert np.allclose(ml, [0.999956, 0.000357, 0.000357], atol=1e-4)
+    sl = single_label_scores(logits[None, :, 2])[0]
+    assert np.allclose(sl, [0.99991, 4.5e-05, 4.5e-05], atol=1e-4)
