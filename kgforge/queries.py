@@ -447,7 +447,7 @@ def q_embedding_neardup(spark, sf_dir):
         .select("vec_a", "vec_b",
                 (dot(F.col("va"), F.col("vb"))
                  / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"))
-        .where(F.col("cos") >= 0.5)
+        .where(F.col("cos") >= 0.3)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
     )
 
@@ -465,7 +465,7 @@ WITH e AS (
            AS cos
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM sims WHERE cos >= 0.5
+SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM sims WHERE cos >= 0.3
 """
 
 
