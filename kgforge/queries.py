@@ -22,6 +22,7 @@ exactness gate is the pytest P/R suite instead.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -618,10 +619,11 @@ def q_kg_zero_shot(spark, sf_dir):
         ]))
 
 
-def q_kg_doc_embeddings(spark, sf_dir):
-    """Sentence-embedding op over documents (reference sentence_embeddings
-    semantics: masked mean pooling + L2 normalize); rows-only check (the
-    pooling math is pytest-gated)."""
+def doc_embeddings_raw(spark, sf_dir):
+    """Raw sentence-embedding vectors over documents (reference
+    sentence_embeddings semantics: masked mean pooling + L2 normalize,
+    layers.rs:39-76 / pipeline.rs:403-411) as ArrayType(FloatType) —
+    internal form consumed by downstream similarity ops."""
     from pyspark.sql.types import (ArrayType, FloatType, LongType,
                                    StructField, StructType)
     from .workers import get_embedder
@@ -637,6 +639,45 @@ def q_kg_doc_embeddings(spark, sf_dir):
         gen, schema=StructType([
             StructField("doc_id", LongType()),
             StructField("embedding", ArrayType(FloatType())),
+        ]))
+
+
+def q_kg_doc_embeddings(spark, sf_dir):
+    """Sentence-embedding op over documents, contract form: scalar/hashable
+    columns only (the driver's value canonicalizer cannot sort array columns).
+    Emits per-doc vector digest: dim, rounded L2 norm, md5 of the
+    6dp-rounded component string. The raw-vector variant is
+    ``doc_embeddings_raw``; the pooling math itself is pytest-gated
+    (tests/test_embeddings.py)."""
+    import hashlib
+
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+    from .workers import get_embedder
+
+    def gen(batches):
+        emb = get_embedder(64, 42)
+        for pdf in batches:
+            vecs = emb.encode([str(t) for t in pdf["text"]])
+            digests, norms = [], []
+            for v in vecs:
+                comps = ",".join(format(float(x), ".6f") for x in v)
+                digests.append(hashlib.md5(comps.encode()).hexdigest())
+                norms.append(round(float(np.linalg.norm(
+                    v.astype(np.float64))), 6))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "dim": np.full(len(pdf), emb.dim, dtype=np.int32),
+                "l2_norm": norms,
+                "vec_md5": digests,
+            })
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("dim", IntegerType()),
+            StructField("l2_norm", DoubleType()),
+            StructField("vec_md5", StringType()),
         ]))
 
 
@@ -842,9 +883,13 @@ WITH e AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM sess GROUP BY user_id
 """
+# ^ DuckDB's windowed sum(new_session) yields HUGEINT, which pandas
+# materializes as float64 (3.0 vs Spark's int64 3), diverging the driver's
+# value hash; the BIGINT cast restores width parity (CLAUDE.md rule).
 
 
 # --------------------------------------------------------------------------

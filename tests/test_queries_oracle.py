@@ -33,17 +33,20 @@ def ddb():
 
 
 def _canon(rows, cols):
-    """EXACT values (no tolerance): all oracles are engine-bit-exact by
-    design (verified empirically at sf0.01), so the local gate holds the
-    same bar as any value-hash the driver applies."""
+    """EXACT values (no tolerance) AND type-sensitive: the driver's value
+    hash distinguishes 3 (int64) from 3.0 (float64 — e.g. DuckDB HUGEINT via
+    pandas), so the local gate must too. numpy scalars are unwrapped with
+    .item() first so int64(3) == int(3) across engines but int != float."""
     out = []
     for r in rows:
         vals = []
         for c in cols:
             v = r[c]
+            if hasattr(v, "item"):
+                v = v.item()
             if isinstance(v, float) and math.isnan(v):
                 v = "NaN"
-            vals.append(v)
+            vals.append((type(v).__name__, v))
         out.append(tuple(vals))
     return sorted(out, key=repr)
 
