@@ -8,9 +8,11 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "extra": {...}}
 
 --scaling: evidence the north rule's two-cluster-size criterion in-sandbox by
-running the identical KG job at local[8] and local[32] (fresh JVM each, via
-subprocess) on the same input, and writing throughput at both plus scaling
-efficiency into BENCH/BASELINE.md.
+running the identical KG job at local[2] and local[8] (the defaults; fresh
+JVM each, via subprocess) on the same input, and writing throughput at both
+plus scaling efficiency into BENCH/BASELINE.md. 2-vs-8, not 8-vs-32: this
+host's 32 vCPUs are ~16 physical cores and local[N] saturates at N~8
+(JVM+Python = 2 hot threads/core) — see BENCH/BASELINE.md.
 
 --kg-only --cpus N: internal child mode for --scaling (one JSON line).
 """

@@ -24,6 +24,8 @@ detected by an edge-set checksum (count + xor-ish hash agg) going stable.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -94,12 +96,25 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         prev_sig = None
+        converged = False
         for _ in range(max_iterations):
             cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
             sig = _checksum(cur)
             if sig == prev_sig:
+                converged = True
                 break
             prev_sig = sig
+        if not converged:
+            # alternating star rounds converge in O(log n); exhausting the
+            # budget means a pathological graph — the mapping may be wrong,
+            # never return it silently
+            warnings.warn(
+                f"connected_components: edge-set checksum did not stabilize "
+                f"within max_iterations={max_iterations}; the returned "
+                f"mapping may be unconverged — raise max_iterations",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     finally:
         spark.conf.set(cp_key, cp_prev)
     # after convergence every edge points from a node to its component min;

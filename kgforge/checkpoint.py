@@ -23,13 +23,24 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST)
 
 
-def try_resume(spark: SparkSession, path: str, stage: str, config_hash: str) -> DataFrame | None:
+def try_resume(
+    spark: SparkSession,
+    path: str,
+    stage: str,
+    config_hash: str,
+    model_hash: str = "",
+) -> DataFrame | None:
+    """Resume only when stage, config hash AND model identity all match —
+    a model/extractor version bump outside PipelineConfig must invalidate
+    the checkpoint or 'exact resume' silently serves stale outputs."""
     mf = _manifest_path(path)
     if not os.path.exists(mf):
         return None
     with open(mf) as f:
         meta = json.load(f)
-    if meta.get("stage") != stage or meta.get("config_hash") != config_hash:
+    if (meta.get("stage") != stage
+            or meta.get("config_hash") != config_hash
+            or meta.get("model_hash", "") != model_hash):
         return None
     return spark.read.parquet(path)
 
@@ -92,7 +103,7 @@ def checkpointed(
     if workdir is None:
         return df_fn()
     path = os.path.join(workdir, stage)
-    resumed = try_resume(spark, path, stage, config_hash)
+    resumed = try_resume(spark, path, stage, config_hash, model_hash)
     if resumed is not None:
         return resumed
     return write_stage(df_fn(), path, stage, config_hash, model_hash)

@@ -19,6 +19,7 @@ pin exact fills while the argmax/position bookkeeping is the reference math.
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -64,16 +65,16 @@ def predict_masked(
 ) -> list[list[MaskedToken]]:
     """Port of MaskedLanguageModel::predict (masked_language.rs:576-637)."""
     out: list[list[MaskedToken]] = []
+    # locate markers anywhere in the RAW text (replace_mask_token replaces
+    # the marker string wherever it occurs, :581-590) — a whitespace split
+    # would silently miss "[MASK]." / "[MASK]," adjacent to punctuation
+    marker_re = re.compile(re.escape(mask_marker))
+    word_re = re.compile(r"\w+", re.UNICODE)
     for text in texts:
         tokens: list[MaskedToken] = []
-        # tokenize; the marker survives as the piece sequence "[", "MASK", "]"
-        # so we locate masks on the RAW text (replace_mask_token equivalence)
-        pos = 0
-        words = text.split(" ")
-        for wi, w in enumerate(words):
-            if w != mask_marker:
-                continue
-            left = words[wi - 1] if wi > 0 else ""
+        for m in marker_re.finditer(text):
+            lefts = word_re.findall(text[:m.start()])
+            left = lefts[-1] if lefts else ""
             logits = head.logits(left)
             best = int(np.argmax(logits))          # max over vocab dim (:626)
             tokens.append(MaskedToken(

@@ -51,7 +51,14 @@ def stage_extract(pages: DataFrame, langs: tuple[str, ...] = ("en",)) -> DataFra
     The language filter is applied BEFORE extraction so Catalyst pushes it to
     the scan (partition pruning on a lang-partitioned table); only url/html/
     lang columns are read (column pruning: never read `text` when extracting
-    from `html`)."""
+    from `html`).
+
+    This is the UNFUSED modular form (kept for stage-level tests and for
+    callers that only need extraction); the production pipeline uses the
+    fused ``stage_extract_sentences`` so one Python eval holds one worker.
+    The per-element ``.map`` inside ``extract_udf`` is inherent: extract_text
+    is per-document Python either way — Arrow batching amortizes transfer,
+    not the parse itself."""
     return (
         pages
         .where(F.col("lang").isin(list(langs)))
@@ -499,10 +506,16 @@ def surface_components(
                 F.concat(F.lit("s:"), F.col("full_norm")).alias("dst"))
         .distinct()
     )
-    edges = surface_nodes.unionByName(coref_edges).localCheckpoint(eager=True)
+    # persist (not localCheckpoint): DataFrame.unpersist() cannot release
+    # localCheckpoint blocks (RDD-level, invisible to the CacheManager), and
+    # this frame must be releasable once the graph moves driver-side.
+    # connected_components localCheckpoints its own iteration state anyway.
+    edges = surface_nodes.unionByName(coref_edges).persist()
     if edges.count() <= collect_threshold:
         from .canon import cc_unionfind
-        return cc_unionfind([(r["src"], r["dst"]) for r in edges.collect()])
+        pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist(blocking=True)
+        return cc_unionfind(pairs)
     return connected_components(
         edges, max_iterations=max_cc_iterations
     ).withColumnRenamed("node", "surf")
@@ -570,8 +583,10 @@ def stage_triples_inline(
         .groupBy("url", "subj_id", "pred", "obj_id")
         .agg(
             F.min("sent_idx").alias("sent_idx"),
-            F.first("subj_word").alias("subj_word"),
-            F.first("obj_word").alias("obj_word"),
+            # min, not first: first() is nondeterministic across
+            # partitionings; materialized triples must be run-identical
+            F.min("subj_word").alias("subj_word"),
+            F.min("obj_word").alias("obj_word"),
             F.max("score").alias("score"),
         )
         .select("url", "sent_idx", "subj_id", "pred", "obj_id",
@@ -599,8 +614,10 @@ def stage_triples(scored: DataFrame, canon_map: DataFrame) -> DataFrame:
         .groupBy("url", "subj_id", "pred", "obj_id")
         .agg(
             F.min("sent_idx").alias("sent_idx"),
-            F.first("subj_word").alias("subj_word"),
-            F.first("obj_word").alias("obj_word"),
+            # min, not first: first() is nondeterministic across
+            # partitionings; materialized triples must be run-identical
+            F.min("subj_word").alias("subj_word"),
+            F.min("obj_word").alias("obj_word"),
             F.max("score").alias("score"),
         )
         .select("url", "sent_idx", "subj_id", "pred", "obj_id",
@@ -632,10 +649,12 @@ def run_pipeline(
         spark, workdir, "s1_sentences", ch, mh)
     ner_scored = checkpointed(lambda: stage_ner_score(sentences, cfg),
                               spark, workdir, "s2s3_ner_scored", ch, mh)
+    persisted: list[DataFrame] = []
     if workdir is None:
         # feeds BOTH the triples branch and the linking branch; without a
         # parquet checkpoint, persist so inference runs once
         ner_scored = ner_scored.persist()
+        persisted.append(ner_scored)
     scored = (
         ner_scored
         .where(F.size("cands") >= 1)
@@ -647,6 +666,7 @@ def run_pipeline(
         spark, workdir, "s4_resolved", ch, mh)
     if workdir is None:
         resolved = resolved.persist()
+        persisted.append(resolved)
     # resolved carries (url, norm) so it doubles as the coref mention source
     comp = surface_components(resolved, resolved)
     if isinstance(comp, dict):
@@ -657,19 +677,39 @@ def run_pipeline(
             spark, workdir, "s5_triples", ch, mh)
     else:
         # at-scale fallback: distributed CC + occurrence-keyed equi-joins
-        canon_map = stage_canon(resolved, resolved).persist()
+        canon_map = stage_canon(resolved, resolved)
+        if workdir is None:
+            canon_map = canon_map.persist()
+            persisted.append(canon_map)
         triples = checkpointed(lambda: stage_triples(scored, canon_map),
                                spark, workdir, "s5_triples", ch, mh)
+    if persisted:
+        # cache discipline for long-lived sessions: materialize the (small)
+        # triples result once, then release every intermediate cache. With a
+        # workdir the stages live in parquet and nothing was persisted.
+        triples = triples.localCheckpoint(eager=True)
+        for df in persisted:
+            df.unpersist()
     return triples
 
 
-def materialize_triples(triples: DataFrame, path: str) -> None:
+def materialize_triples(triples: DataFrame, path: str,
+                        write_buckets: int = 8) -> None:
     """Partitioned table write: predicate-partitioned, url-sorted within
     partitions (the parquet analog of the Iceberg layout in the north star;
-    the writer is isolated here so an Iceberg `writeTo` is a one-line swap)."""
+    the writer is isolated here so an Iceberg `writeTo` is a one-line swap).
+
+    Write parallelism: repartitioning on `pred` alone would funnel the whole
+    output through <= n_predicates tasks (4 here) and one hot predicate would
+    serialize ~everything — a scale-killer invisible at sf0.1. Instead we
+    repartition on (pred, pmod(xxhash64(url), B)) so each predicate directory
+    is written by B tasks, while partitionBy('pred') still gives the
+    one-directory-per-predicate layout."""
     (
         triples
-        .repartition("pred")
+        .repartition(
+            F.col("pred"),
+            F.pmod(F.xxhash64("url"), F.lit(write_buckets)))
         .sortWithinPartitions("url")
         .write.mode("overwrite")
         .partitionBy("pred")

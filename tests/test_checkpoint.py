@@ -30,12 +30,15 @@ def test_manifest_records_lineage(spark, tmp_path):
     for p in meta["partitions"]:
         assert "url_min" in p and "url_max" in p
 
-    # resume hit
-    resumed = try_resume(spark, path, "stage_x", "cfg123")
+    # resume hit (stage + config + model identity all match)
+    resumed = try_resume(spark, path, "stage_x", "cfg123", model_hash="m1")
     assert resumed is not None and resumed.count() == 100
     # config change -> no resume (exactness guarantee)
-    assert try_resume(spark, path, "stage_x", "other") is None
-    assert try_resume(spark, path, "stage_y", "cfg123") is None
+    assert try_resume(spark, path, "stage_x", "other", model_hash="m1") is None
+    assert try_resume(spark, path, "stage_y", "cfg123", model_hash="m1") is None
+    # model/extractor version bump -> no resume (stale-output guard)
+    assert try_resume(spark, path, "stage_x", "cfg123", model_hash="m2") is None
+    assert try_resume(spark, path, "stage_x", "cfg123") is None
 
 
 def test_materialize_partitioned_by_pred(spark, tmp_path):
@@ -54,6 +57,32 @@ def test_materialize_partitioned_by_pred(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert set(back.columns) == set(df.columns)
+
+
+def test_materialize_write_parallelism(spark, tmp_path):
+    """A hot predicate's directory must be written by multiple tasks
+    (bucketed repartition on (pred, pmod(xxhash64(url), B))) — hashing on
+    pred alone would funnel the whole output through <= n_predicates tasks."""
+    from kgforge import schemas
+    from kgforge.pipeline import materialize_triples
+
+    rows = [(f"https://d{i}", 0, f"PER_{i}", "lives_in", f"LOC_{i}",
+             "a", "b", 0.5) for i in range(400)]
+    df = spark.createDataFrame(rows, schema=schemas.TRIPLES)
+    out = str(tmp_path / "triples_hot")
+    # AQE rightly coalesces KB-sized test shuffles into one partition; what
+    # we are pinning is KEY CARDINALITY (pred alone caps tasks at
+    # n_predicates no matter the data size) — so disable coalescing to see it
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        materialize_triples(df, out)
+    finally:
+        spark.conf.set(key, prev)
+    files = [f for f in os.listdir(os.path.join(out, "pred=lives_in"))
+             if f.startswith("part-")]
+    assert len(files) > 4, files
 
 
 def test_partial_resume_recomputes_only_missing_stage(spark, tmp_path):

@@ -28,6 +28,15 @@ def test_multiple_masks_in_order():
     assert [t.text for t in out[0]] == ["paris", "tokyo"]
 
 
+def test_marker_adjacent_to_punctuation_is_found():
+    """replace_mask_token replaces the marker anywhere in the text
+    (masked_language.rs:581-590) — '[MASK].' must not be silently skipped."""
+    head = _head({"in": "paris", "visit": "tokyo"})
+    out = predict_masked(["Amy lives in [MASK]. She will visit [MASK], later"],
+                         head)
+    assert [t.text for t in out[0]] == ["paris", "tokyo"]
+
+
 def test_deterministic_without_planting():
     a = predict_masked(["x [MASK]"], _head())
     b = predict_masked(["x [MASK]"], _head())

@@ -36,6 +36,19 @@ def triples(spark, tiny_pages_df, alias_df, cfg):
     return t
 
 
+def test_no_lingering_intermediate_caches(spark, tiny_pages_df, alias_df, cfg):
+    """run_pipeline must release every intermediate cache (ner_scored,
+    resolved, surface edges) — long-lived sessions must not accumulate
+    cached stages. Only the returned result's own localCheckpoint survives."""
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_cached()
+    t = run_pipeline(spark, tiny_pages_df, alias_df, cfg)
+    assert t.count() > 0
+    assert n_cached() - before <= 1  # just the eager result checkpoint
+
+
 def test_pr_gate(triples, gold_triples_df):
     """BASELINE.json: P/R >= 0.95 vs gold triples."""
     pr = triple_pr(triples, gold_triples_df)
