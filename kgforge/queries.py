@@ -682,6 +682,129 @@ def q_kg_doc_embeddings(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# generation family (#19 text generation, #20 summarization, #21 translation)
+# — whole autoregressive decode inside ONE mapInPandas eval (SURVEY §2 #19);
+# rows-only driver check (iterative decode is not SQL-expressible); the
+# decode math itself is pytest-gated branch-by-branch (tests/test_generation)
+# --------------------------------------------------------------------------
+
+def build_gen_vocab(spark: SparkSession, sf_dir: str, size: int = 64
+                    ) -> list[str]:
+    """Deterministic LM vocab from the documents table: top-`size` words by
+    (count desc, word asc). A small dimension build (like the alias dict) —
+    one aggregate + collect of <=size rows, broadcast to workers."""
+    rows = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(size)
+        .collect()
+    )
+    return [r["w"] for r in rows]
+
+
+def _gen_docs(spark, sf_dir, n=200):
+    return (_docs(spark, sf_dir)
+            .where(F.col("doc_id") < n)
+            .select("doc_id", "text"))
+
+
+def q_gen_greedy(spark, sf_dir):
+    """#19 text generation, greedy path: continue the first 3 words of each
+    document with the stand-in causal LM (decode loop = the reference's
+    generate_no_beam_search port)."""
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+    from .generation import GenerateConfig, StandInLMHead, TextGenerator
+    vocab = build_gen_vocab(spark, sf_dir)
+    cfg = GenerateConfig(do_sample=False, num_beams=1, max_length=16,
+                         min_length=4, no_repeat_ngram_size=3,
+                         repetition_penalty=1.2)
+
+    def gen(batches):
+        tg = TextGenerator(StandInLMHead(vocab, seed=42), cfg)
+        for pdf in batches:
+            prompts = [" ".join(str(t).split()[:3]) for t in pdf["text"]]
+            texts = tg.generate(prompts)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "gen_text": texts,
+                "n_gen_tokens": [len(t.split()) for t in texts],
+            })
+
+    return _gen_docs(spark, sf_dir).mapInPandas(gen, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("gen_text", StringType()),
+        StructField("n_gen_tokens", IntegerType()),
+    ]))
+
+
+def q_summarize_beam(spark, sf_dir):
+    """#20 summarization: encoder-decoder beam search (num_beams=3 like
+    SummarizationConfig; shorter min/max than the CNN-DM 56/142 defaults to
+    bound the stand-in decode — the exact defaults are pytest-pinned)."""
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+    from .generation import GenerateConfig, StandInLMHead, Summarizer
+    vocab = build_gen_vocab(spark, sf_dir)
+    cfg = GenerateConfig(min_length=8, max_length=40, do_sample=False,
+                         early_stopping=True, num_beams=3, top_k=50,
+                         top_p=1.0, no_repeat_ngram_size=3)
+
+    def gen(batches):
+        sm = Summarizer(StandInLMHead(vocab, seed=42,
+                                      is_encoder_decoder=True), cfg)
+        for pdf in batches:
+            summaries = sm.summarize([str(t)[:400] for t in pdf["text"]])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "summary": summaries,
+                "n_tokens": [len(s.split()) for s in summaries],
+            })
+
+    return _gen_docs(spark, sf_dir).mapInPandas(gen, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("summary", StringType()),
+        StructField("n_tokens", IntegerType()),
+    ]))
+
+
+def q_translate_m2m(spark, sf_dir):
+    """#21 translation: M2M100-style prefix + forced-BOS bookkeeping
+    (common.rs:1570 port) + encoder-decoder beam decode."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    from .generation import GenerateConfig, StandInLMHead
+    from .translation import M2M100, Translator
+    vocab = build_gen_vocab(spark, sf_dir)
+    lang_tokens = [">>en.<<", ">>fr.<<"]
+    cfg = GenerateConfig(do_sample=False, num_beams=3, max_length=24,
+                         min_length=4, no_repeat_ngram_size=3)
+
+    def gen(batches):
+        head = StandInLMHead(vocab + lang_tokens, seed=42,
+                             is_encoder_decoder=True)
+        tr = Translator(head, M2M100, {"English", "French"},
+                        {"English", "French"}, cfg)
+        for pdf in batches:
+            outs = tr.translate([str(t)[:200] for t in pdf["text"]],
+                                "English", "French")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "tgt_lang": ["French"] * len(pdf),
+                "translation": outs,
+            })
+
+    return _gen_docs(spark, sf_dir).mapInPandas(gen, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("tgt_lang", StringType()),
+        StructField("translation", StringType()),
+    ]))
+
+
+# --------------------------------------------------------------------------
 # relational-operator inventory (SURVEY §2.3) over the TPC-H-ish tables
 # --------------------------------------------------------------------------
 
@@ -1018,6 +1141,10 @@ QUERIES = {
     "embedding_ann_topk": q_embedding_ann_topk,   # approximate; rows-only
     "kg_doc_embeddings": q_kg_doc_embeddings,     # model op; rows-only
     "kg_zero_shot": q_kg_zero_shot,               # model op; rows-only
+    # generation family (iterative decode; rows-only by nature)
+    "gen_greedy": q_gen_greedy,
+    "summarize_beam": q_summarize_beam,
+    "translate_m2m": q_translate_m2m,
     # relational inventory
     "topk_per_group": q_topk_per_group,
     "share_in_group": q_share_in_group,
