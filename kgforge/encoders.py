@@ -321,3 +321,64 @@ class StandInEmbedder:
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         out = out / np.clip(norms, 1e-12, None)  # pipeline.rs:403-411
         return out.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# ONNX runtime adapter (#23) — the ModelResource::{Torch, ONNX} duality
+# --------------------------------------------------------------------------
+
+class ONNXTokenClassifier:
+    """Adapter proving the stand-in <-> real-runtime swap is a config change
+    (the reference's ModelResource::{Torch, ONNX}, common.rs:85-89).
+
+    Wraps anything with the ``onnxruntime.InferenceSession`` surface
+    (``get_inputs() -> [meta(.name)]``, ``run(output_names, feed) ->
+    [arrays]``) behind the same ``TokenClassifier.forward`` protocol the
+    pipeline consumes. Input assembly mirrors ONNXEncoder::forward
+    (onnx/encoder.rs:112-160): offer the canonical tensor names, feed
+    exactly the names the session declares, and raise the reference's
+    "{name} not found but expected by model." error otherwise. The
+    ``continuation_mask``/``token_texts`` hints are accepted and ignored —
+    a real contextual encoder derives that from attention.
+    """
+
+    CANONICAL = ("input_ids", "attention_mask", "token_type_ids",
+                 "position_ids")
+
+    def __init__(self, session, logits_output: str = "logits"):
+        self.session = session
+        self.logits_output = logits_output
+        self.input_names = [i.name for i in session.get_inputs()]
+
+    def forward(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        continuation_mask: np.ndarray | None = None,
+        token_texts: np.ndarray | None = None,
+    ) -> np.ndarray:
+        b, t = input_ids.shape
+        available = {
+            "input_ids": input_ids.astype(np.int64),
+            "attention_mask": attention_mask.astype(np.int64),
+            "token_type_ids": np.zeros((b, t), dtype=np.int64),
+            "position_ids": np.tile(np.arange(t, dtype=np.int64), (b, 1)),
+        }
+        feed = {}
+        for name in self.input_names:
+            if name not in available:
+                raise ValueError(f"{name} not found but expected by model.")
+            feed[name] = available[name]
+        (logits,) = self.session.run([self.logits_output], feed)
+        return np.asarray(logits, dtype=np.float64)
+
+
+def try_onnx_session(model_path: str):
+    """Gated construction: returns an ``InferenceSession`` when onnxruntime
+    is installed (a real cluster), None in this sandbox (verified absent).
+    The pipeline then falls back to the stand-in — one config switch."""
+    try:
+        import onnxruntime  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    return onnxruntime.InferenceSession(model_path)

@@ -431,7 +431,15 @@ SELECT doc_id, word, n, rank FROM (
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by label (the
-    embedding analog of the minhash-banded jaccard pairs)."""
+    embedding analog of the minhash-banded jaccard pairs).
+
+    Scale note: label-blocking is the EXACT (SQL-oracled) baseline — correct
+    whenever block cardinality tracks data size. At 100 TB a hot label makes
+    its block quadratic; the scale path for true near-duplicates is
+    random-hyperplane LSH bucketing (kgforge.ann, exercised by the
+    embedding_ann_topk query), which bounds per-bucket candidate counts
+    regardless of label skew — see tests/test_ann.py::
+    test_hot_label_candidates_bounded_by_lsh for the skew contract."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))

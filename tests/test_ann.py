@@ -49,3 +49,51 @@ def test_ann_identical_across_runs():
     a = ann_topk_local(corpus[:3], corpus, k=4)
     b = ann_topk_local(corpus[:3], corpus, k=4)
     assert a == b
+
+
+def test_hot_label_candidates_bounded_by_lsh():
+    """Skew contract for near-dup at scale: when EVERY vector shares one
+    label (hot block — the label-blocked q_embedding_neardup would go
+    quadratic), LSH bucketing still (a) bounds candidate-pair counts well
+    below all-pairs and (b) recalls >=90% of the true near-duplicate
+    (cos>=0.9) pairs."""
+    rng = np.random.default_rng(7)
+    n_base, d = 800, 64
+    base = rng.standard_normal((n_base, d))
+    # plant 40 near-duplicate partners (tiny perturbations of base vectors)
+    partners = base[:40] + rng.standard_normal((40, d)) * 0.02
+    vecs = np.vstack([base, partners])
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    true_pairs = set()
+    sims = vn @ vn.T
+    iu = np.triu_indices(len(vecs), 1)
+    for i, j in zip(*iu):
+        if sims[i, j] >= 0.9:
+            true_pairs.add((i, j))
+    assert len(true_pairs) >= 35  # the planted near-dups are really there
+
+    planes = hyperplanes(d, n_planes=10, n_tables=8, seed=42)
+    sig = signatures(vn, planes)
+    cand = set()
+    max_bucket = 0
+    n_candidate_pairs = 0
+    for t in range(sig.shape[1]):
+        buckets: dict[int, list[int]] = {}
+        for i, key in enumerate(sig[:, t]):
+            buckets.setdefault(int(key), []).append(i)
+        for members in buckets.values():
+            max_bucket = max(max_bucket, len(members))
+            n_candidate_pairs += len(members) * (len(members) - 1) // 2
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    cand.add((members[a], members[b]))
+
+    all_pairs = len(vecs) * (len(vecs) - 1) // 2
+    # (a) the hot block never goes quadratic: candidate work is a small
+    # fraction of all-pairs, and no single bucket dominates
+    assert n_candidate_pairs < 0.10 * all_pairs, (n_candidate_pairs, all_pairs)
+    assert max_bucket < 0.25 * len(vecs), max_bucket
+    # (b) near-duplicates survive the blocking
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.9, recall
