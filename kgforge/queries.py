@@ -1034,6 +1034,14 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document's own word-soup text is appended as realistic no-entity
     filler so throughput numbers include honest dead weight."""
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("doc_text"))
+    # small-file guard: a single-file scan yields ONE input partition, which
+    # serializes the whole pre-shuffle Python chain (page gen + extract +
+    # sentence split) onto one task. Fan the tiny input out to the session's
+    # parallelism; at real scale the scan has >= parallelism splits already
+    # and this branch never fires (no 100 TB repartition).
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
 
     def gen(batches):
         from .synth import PageGen
