@@ -690,6 +690,107 @@ def q_kg_doc_embeddings(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# model pipelines #10/#15/#16 as driver-visible queries (rows-only: softmax /
+# hash-head math is not SQL-expressible; exactness is pytest-gated)
+# --------------------------------------------------------------------------
+
+def q_seq_classify(spark, sf_dir):
+    """#10 sequence classification: softmax(-1) -> argmax -> gathered score
+    (sequence_classification.rs:729-775) over document texts."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    from .encoders import StandInSeqClassifier
+
+    def gen(batches):
+        clf = StandInSeqClassifier(seed=42)
+        for pdf in batches:
+            preds = clf.predict([str(t) for t in pdf["text"]])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "label": [p["label"] for p in preds],
+                "score": [round(p["score"], 6) for p in preds],
+            })
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("label", StringType()),
+            StructField("score", DoubleType()),
+        ]))
+
+
+def q_masked_fill(spark, sf_dir):
+    """#15 masked LM: mask the 4th word of each document head and fill via
+    raw-logit argmax over the vocab (masked_language.rs:576-637 port)."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    from .maskedlm import MASK_MARKER, StandInMLMHead, predict_masked
+    vocab = build_gen_vocab(spark, sf_dir, size=32)
+
+    def gen(batches):
+        head = StandInMLMHead(vocab, seed=42)
+        for pdf in batches:
+            texts = []
+            for t in pdf["text"]:
+                words = str(t).split()[:8]
+                if len(words) >= 4:
+                    words[3] = MASK_MARKER
+                texts.append(" ".join(words))
+            outs = predict_masked(texts, head)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "fill": [o[0].text if o else None for o in outs],
+                "fill_id": [o[0].id if o else -1 for o in outs],
+                "score": [round(o[0].score, 6) if o else None for o in outs],
+            })
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("fill", StringType()),
+            StructField("fill_id", LongType()),
+            StructField("score", DoubleType()),
+        ]))
+
+
+def q_qa_extractive(spark, sf_dir):
+    """#16 extractive QA: span decode (p_mask, outer product, triu/tril
+    window, top-k — question_answering.rs:778-917 port) with the planted
+    head peaking on the document's second word."""
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+    from .qa import predict_qa
+
+    def gen(batches):
+        for pdf in batches:
+            inputs, amap = [], {}
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                context = " ".join(str(t).split()[:30])
+                words = context.split()
+                answer = words[1] if len(words) > 1 else (words[0] if words else "")
+                q = f"What is the key term of document {int(did)}?"
+                inputs.append((q, context))
+                amap[q] = answer
+            outs = predict_qa(inputs, answer_map=amap, top_k=1)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "answer": [o[0].answer if o else None for o in outs],
+                "start": [o[0].start if o else -1 for o in outs],
+                "end": [o[0].end if o else -1 for o in outs],
+                "score": [round(o[0].score, 6) if o else None for o in outs],
+            })
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("answer", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("score", DoubleType()),
+        ]))
+
+
+# --------------------------------------------------------------------------
 # generation family (#19 text generation, #20 summarization, #21 translation)
 # — whole autoregressive decode inside ONE mapInPandas eval (SURVEY §2 #19);
 # rows-only driver check (iterative decode is not SQL-expressible); the
@@ -1157,6 +1258,10 @@ QUERIES = {
     "embedding_ann_topk": q_embedding_ann_topk,   # approximate; rows-only
     "kg_doc_embeddings": q_kg_doc_embeddings,     # model op; rows-only
     "kg_zero_shot": q_kg_zero_shot,               # model op; rows-only
+    # model pipelines #10/#15/#16 (rows-only)
+    "seq_classify": q_seq_classify,
+    "masked_fill": q_masked_fill,
+    "qa_extractive": q_qa_extractive,
     # generation family (iterative decode; rows-only by nature)
     "gen_greedy": q_gen_greedy,
     "summarize_beam": q_summarize_beam,

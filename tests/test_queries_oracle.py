@@ -84,6 +84,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
         "kg_triples", "kg_entities", "kg_linked", "kg_doc_embeddings",
         "kg_zero_shot", "embedding_ann_topk",
         "gen_greedy", "summarize_beam", "translate_m2m",
+        "seq_classify", "masked_fill", "qa_extractive",
     }
 
 
