@@ -690,6 +690,35 @@ def q_kg_doc_embeddings(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# multimodal columns (binary image/audio/video + typed metadata; decode /
+# feature-extract / resize / frame-sample in Arrow-batched evals — rows-only:
+# byte-level codecs are not SQL-expressible; roundtrip exactness is
+# pytest-gated in tests/test_multimodal.py)
+# --------------------------------------------------------------------------
+
+def _media(spark, sf_dir):
+    """SF-proportional deterministic media table (one blob per document)."""
+    from .multimodal import gen_media
+    n = _docs(spark, sf_dir).count()
+    return gen_media(spark, n)
+
+
+def q_media_image_features(spark, sf_dir):
+    from .multimodal import image_features
+    return image_features(_media(spark, sf_dir))
+
+
+def q_media_audio_stats(spark, sf_dir):
+    from .multimodal import audio_stats
+    return audio_stats(_media(spark, sf_dir))
+
+
+def q_media_video_frames(spark, sf_dir):
+    from .multimodal import video_frame_sample
+    return video_frame_sample(_media(spark, sf_dir), every=2)
+
+
+# --------------------------------------------------------------------------
 # model pipelines #10/#15/#16 as driver-visible queries (rows-only: softmax /
 # hash-head math is not SQL-expressible; exactness is pytest-gated)
 # --------------------------------------------------------------------------
@@ -1258,6 +1287,10 @@ QUERIES = {
     "embedding_ann_topk": q_embedding_ann_topk,   # approximate; rows-only
     "kg_doc_embeddings": q_kg_doc_embeddings,     # model op; rows-only
     "kg_zero_shot": q_kg_zero_shot,               # model op; rows-only
+    # multimodal columns (rows-only)
+    "media_image_features": q_media_image_features,
+    "media_audio_stats": q_media_audio_stats,
+    "media_video_frames": q_media_video_frames,
     # model pipelines #10/#15/#16 (rows-only)
     "seq_classify": q_seq_classify,
     "masked_fill": q_masked_fill,

@@ -1,0 +1,166 @@
+"""Multimodal binary columns: byte-exact codec roundtrips, real resize /
+resample / frame-sample math, stubbed real-codec gate, and the Spark
+plumbing contracts (schema, partition-invariance, kind pruning below the
+Python eval)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from kgforge.multimodal import (
+    audio_stats, decode_audio, decode_image, decode_real_codec,
+    decode_video, encode_audio, encode_image, encode_video, frame_sample,
+    gen_media, image_features, resample_audio, resize_image,
+    video_frame_sample,
+)
+
+
+# --------------------------------------------------------------------------
+# codec roundtrips (pure functions)
+# --------------------------------------------------------------------------
+
+def test_image_roundtrip_exact():
+    blob = encode_image(7)
+    w, h, c, px = decode_image(blob)
+    assert (w, h, c) == (8 + 7 % 9, 6 + 7 % 7, 3)
+    assert px.shape == (h, w, c) and px.dtype == np.uint8
+    assert encode_image(7) == blob                  # pure function of id
+    assert encode_image(8) != blob
+
+
+def test_image_decode_rejects_garbage():
+    with pytest.raises(ValueError, match="KIMG"):
+        decode_image(b"JFIF....")
+
+
+def test_resize_nearest_neighbor_exact():
+    px = np.arange(2 * 2 * 1, dtype=np.uint8).reshape(2, 2, 1)  # [[0,1],[2,3]]
+    up = resize_image(px, 4, 4)
+    assert up.shape == (4, 4, 1)
+    # each source pixel becomes a 2x2 block
+    assert (up[:2, :2, 0] == 0).all() and (up[:2, 2:, 0] == 1).all()
+    assert (up[2:, :2, 0] == 2).all() and (up[2:, 2:, 0] == 3).all()
+    down = resize_image(up, 2, 2)
+    assert np.array_equal(down, px)
+
+
+def test_audio_roundtrip_and_resample():
+    blob = encode_audio(5, sample_rate=8000, n_samples=100)
+    sr, samples = decode_audio(blob)
+    assert sr == 8000 and len(samples) == 100
+    assert samples.dtype == np.int16
+    dec = resample_audio(samples, 4)
+    assert len(dec) == 25
+    assert np.array_equal(dec, samples[::4])
+
+
+def test_video_roundtrip_and_frame_sample():
+    blob = encode_video(3, n_frames=7)
+    frames = decode_video(blob)
+    assert len(frames) == 7
+    # each frame is itself a decodable image, distinct across frames
+    digests = {hashlib.md5(f).hexdigest() for f in frames}
+    assert len(digests) == 7
+    for f in frames:
+        w, h, c, px = decode_image(f)
+        assert (w, h) == (8, 6)
+    sampled = frame_sample(blob, every=3)
+    assert sampled == [frames[0], frames[3], frames[6]]
+
+
+def test_real_codec_stub_gated():
+    """pillow/soundfile are absent in this sandbox: the real-codec path is a
+    clearly-marked NotImplementedError; the Spark plumbing never changes."""
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_real_codec(b"\xff\xd8\xff", "image")
+
+
+# --------------------------------------------------------------------------
+# Spark plumbing
+# --------------------------------------------------------------------------
+
+def test_media_table_schema_and_meta(spark):
+    df = gen_media(spark, 30)
+    rows = {r["media_id"]: r for r in df.collect()}
+    assert len(rows) == 30
+    assert set(df.columns) == {"media_id", "kind", "bytes", "meta"}
+    img = rows[0]                      # id % 3 == 0 -> image
+    assert img["kind"] == "image"
+    w, h, c, _ = decode_image(bytes(img["bytes"]))
+    assert (img["meta"]["width"], img["meta"]["height"],
+            img["meta"]["channels"]) == (w, h, c)
+    aud = rows[1]
+    assert aud["kind"] == "audio"
+    sr, samples = decode_audio(bytes(aud["bytes"]))
+    assert aud["meta"]["sample_rate"] == sr
+    assert aud["meta"]["n_samples"] == len(samples)
+    vid = rows[2]
+    assert vid["kind"] == "video"
+    assert vid["meta"]["n_frames"] == len(decode_video(bytes(vid["bytes"])))
+
+
+def test_media_partition_invariance(spark):
+    """Pure function of media_id: identical bytes at any parallelism."""
+    a = sorted((r["media_id"], bytes(r["bytes"]))
+               for r in gen_media(spark, 24, partitions=2).collect())
+    b = sorted((r["media_id"], bytes(r["bytes"]))
+               for r in gen_media(spark, 24, partitions=8).collect())
+    assert a == b
+
+
+def test_image_features_match_local(spark):
+    media = gen_media(spark, 30)
+    got = {r["media_id"]: r for r in image_features(media).collect()}
+    assert set(got) == {i for i in range(30) if i % 3 == 0}
+    for mid, row in got.items():
+        w, h, c, px = decode_image(encode_image(mid))
+        assert (row["width"], row["height"], row["channels"]) == (w, h, c)
+        assert row["px_sum"] == int(px.astype(np.int64).sum())
+        assert row["px_md5"] == hashlib.md5(px.tobytes()).hexdigest()
+        thumb = resize_image(px, 4, 4)
+        assert row["thumb_md5"] == hashlib.md5(thumb.tobytes()).hexdigest()
+
+
+def test_audio_stats_match_local(spark):
+    got = {r["media_id"]: r
+           for r in audio_stats(gen_media(spark, 30)).collect()}
+    for mid, row in got.items():
+        sr, samples = decode_audio(encode_audio(mid))
+        assert row["sample_rate"] == sr
+        assert row["n_samples"] == len(samples)
+        assert row["abs_sum"] == int(np.abs(samples.astype(np.int64)).sum())
+        assert row["n_resampled_4x"] == len(samples[::4])
+
+
+def test_video_frame_sample_rows(spark):
+    got = video_frame_sample(gen_media(spark, 30), every=2).collect()
+    by_media: dict[int, list] = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        frames = decode_video(encode_video(mid))
+        kept = frames[::2]
+        assert len(rows) == len(kept)
+        rows.sort(key=lambda r: r["frame_idx"])
+        for row, fr in zip(rows, kept):
+            assert row["frame_md5"] == hashlib.md5(fr).hexdigest()
+            assert row["n_frames"] == len(frames)
+
+
+def test_kind_filter_below_python_eval(spark):
+    """Pruning must reach below the Arrow eval: only image rows enter the
+    decode UDF (Filter sits under MapInPandas in the plan)."""
+    import contextlib, io, re
+    plan_df = image_features(gen_media(spark, 12))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    evals = [m.start() for m in re.finditer(r"^\(\d+\) MapInPandas", plan,
+                                            re.M)]
+    filt = plan.find("Filter")
+    assert len(evals) == 2          # gen eval + features eval
+    assert 0 <= filt                # kind filter present between them
