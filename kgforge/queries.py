@@ -1101,6 +1101,32 @@ FROM (
 """
 
 
+def q_rollup_metrics(spark, sf_dir):
+    """Metrics-reporting rollup (§2.3 'grouping sets / cube / rollup' row):
+    order counts + exact integer sums at (status, priority), (status), ()
+    granularities. Status/priority are non-null in the data, so coalescing
+    the rollup NULL markers to 'ALL' is unambiguous."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("o_custkey").cast("long").alias("custkey_sum"))
+        .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n", "custkey_sum")
+    )
+
+
+SQL_ROLLUP_METRICS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Ordered window / sessionization (the relational fallback for BIOES
     chunking, SURVEY §2.3): 30-minute-gap sessions per user."""
@@ -1308,6 +1334,7 @@ QUERIES = {
     "explode_words": q_explode_words,
     "argmax_per_group": q_argmax_per_group,
     "sessionize": q_sessionize,
+    "rollup_metrics": q_rollup_metrics,
     # KG pipeline (rows-only)
     "kg_triples": q_kg_triples,
     "kg_entities": q_kg_entities,
@@ -1336,5 +1363,6 @@ ORACLES = {
     "explode_words": SQL_EXPLODE_WORDS,
     "argmax_per_group": SQL_ARGMAX_PER_GROUP,
     "sessionize": SQL_SESSIONIZE,
+    "rollup_metrics": SQL_ROLLUP_METRICS,
     # kg_* intentionally absent (non-SQL-expressible model pipeline)
 }
