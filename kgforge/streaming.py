@@ -1,0 +1,97 @@
+"""Structured Streaming surface for the KG pipeline.
+
+The reference is strictly batch (SURVEY §1.3: no streams anywhere), so this
+is an engine addition, not a port: continuous ingest of Common-Crawl-style
+page drops with exactly-once file processing.
+
+Design:
+  - ``read_page_stream``: file-source stream over the pages schema
+    (new parquet drops picked up per trigger; ``maxFilesPerTrigger`` bounds
+    micro-batch size -> bounds executor memory at any scale).
+  - ``page_rates_windowed``: watermarked event-time windows over ``warc_ts``
+    (late pages tolerated up to the watermark; state is bounded — the
+    streaming-agg pattern the task calls for).
+  - ``run_triples_stream``: the five-stage pipeline per micro-batch via
+    ``foreachBatch``. The KG pipeline is multi-pass (connected components
+    iterates; linking broadcasts) which no single streaming plan can
+    express, so foreachBatch is the idiomatic escape hatch: source offsets
+    live in the checkpoint (a file is processed exactly once across
+    restarts) and each batch's triples are APPENDED to the partitioned
+    table with the same bucketed write layout as the batch writer.
+
+At 100 TB the same topology holds: the file source scales by listing, the
+watermark bounds agg state, and each micro-batch is a bounded batch job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schemas
+from .config import PipelineConfig
+
+
+def read_page_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(schemas.PAGES).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def page_rates_windowed(pages: DataFrame, window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Pages per (domain, event-time window), late data tolerated up to the
+    watermark. Works on both batch and streaming frames (same plan)."""
+    return (
+        pages
+        .withColumn("domain",
+                    F.regexp_extract("url", r"https?://([^/]+)/", 1))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("window.start").alias("win_start"),
+                F.col("window.end").alias("win_end"),
+                "domain", "n_pages")
+    )
+
+
+def run_triples_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    alias_df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream page drops -> canonical triples, exactly-once per input file.
+
+    Returns the started StreamingQuery; callers typically
+    ``q.awaitTermination()`` (availableNow) or manage the lifecycle."""
+    from .pipeline import run_pipeline
+
+    cfg = cfg or PipelineConfig()
+    pages = read_page_stream(spark, in_path, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = run_pipeline(spark, batch_df, alias_df, cfg)
+        (
+            triples
+            .repartition(F.col("pred"),
+                         F.pmod(F.xxhash64("url"), F.lit(8)))
+            .sortWithinPartitions("url")
+            .write.mode("append")
+            .partitionBy("pred")
+            .parquet(out_path)
+        )
+
+    writer = (
+        pages.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
