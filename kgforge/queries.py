@@ -1101,6 +1101,65 @@ FROM (
 """
 
 
+def q_set_ops(spark, sf_dir):
+    """Set ops (§2.3: unionByName across shards; subtract/anti-join for
+    checkpoint resume): customers with no orders in two segments, union'd —
+    the exact shape of the resume anti-join against a done-manifest."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+
+    def seg(name):
+        return (cust.where(F.col("c_mktsegment") == name)
+                .select("c_custkey", "c_mktsegment")
+                .join(with_orders, "c_custkey", "left_anti"))
+
+    return (seg("BUILDING").unionByName(seg("MACHINERY"))
+            .select("c_custkey", F.col("c_mktsegment").alias("segment")))
+
+
+SQL_SET_OPS = """
+WITH no_orders AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+)
+SELECT c_custkey, c_mktsegment AS segment FROM no_orders
+WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment AS segment FROM no_orders
+WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+def q_crossjoin_labels(spark, sf_dir):
+    """Cross join with a small dim (§2.3: inputs x hypothesis-templated
+    labels, zero_shot_classification.rs:730-738): every (document, relation)
+    pair with the reference's default hypothesis template string."""
+    labels = spark.createDataFrame(
+        [("founded_by",), ("works_for",), ("located_in",), ("acquired",)],
+        ["relation"])
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 50)
+        .select("doc_id")
+        .crossJoin(F.broadcast(labels))
+        .select("doc_id", "relation",
+                F.concat(F.lit("This example is about "), F.col("relation"),
+                         F.lit(".")).alias("hypothesis"))
+    )
+
+
+SQL_CROSSJOIN_LABELS = """
+SELECT d.doc_id, l.relation,
+       'This example is about ' || l.relation || '.' AS hypothesis
+FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+CROSS JOIN (
+  SELECT unnest(['founded_by', 'works_for', 'located_in', 'acquired'])
+         AS relation
+) l
+"""
+
+
 def q_rollup_metrics(spark, sf_dir):
     """Metrics-reporting rollup (§2.3 'grouping sets / cube / rollup' row):
     order counts + exact integer sums at (status, priority), (status), ()
@@ -1335,6 +1394,8 @@ QUERIES = {
     "argmax_per_group": q_argmax_per_group,
     "sessionize": q_sessionize,
     "rollup_metrics": q_rollup_metrics,
+    "set_ops": q_set_ops,
+    "crossjoin_labels": q_crossjoin_labels,
     # KG pipeline (rows-only)
     "kg_triples": q_kg_triples,
     "kg_entities": q_kg_entities,
@@ -1364,5 +1425,7 @@ ORACLES = {
     "argmax_per_group": SQL_ARGMAX_PER_GROUP,
     "sessionize": SQL_SESSIONIZE,
     "rollup_metrics": SQL_ROLLUP_METRICS,
+    "set_ops": SQL_SET_OPS,
+    "crossjoin_labels": SQL_CROSSJOIN_LABELS,
     # kg_* intentionally absent (non-SQL-expressible model pipeline)
 }
