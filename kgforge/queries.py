@@ -1103,30 +1103,35 @@ FROM (
 
 def q_set_ops(spark, sf_dir):
     """Set ops (§2.3: unionByName across shards; subtract/anti-join for
-    checkpoint resume): customers with no orders in two segments, union'd —
-    the exact shape of the resume anti-join against a done-manifest."""
+    checkpoint resume): customers with no URGENT order, in two segments,
+    union'd — the exact shape of the resume anti-join against a
+    done-manifest. (Every customer has SOME order in this data, so the
+    anti-join is on the urgent subset to stay non-trivial.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    urgent = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey"))
+              .distinct())
 
     def seg(name):
         return (cust.where(F.col("c_mktsegment") == name)
                 .select("c_custkey", "c_mktsegment")
-                .join(with_orders, "c_custkey", "left_anti"))
+                .join(urgent, "c_custkey", "left_anti"))
 
     return (seg("BUILDING").unionByName(seg("MACHINERY"))
             .select("c_custkey", F.col("c_mktsegment").alias("segment")))
 
 
 SQL_SET_OPS = """
-WITH no_orders AS (
+WITH no_urgent AS (
   SELECT c_custkey, c_mktsegment FROM customer
-  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 )
-SELECT c_custkey, c_mktsegment AS segment FROM no_orders
+SELECT c_custkey, c_mktsegment AS segment FROM no_urgent
 WHERE c_mktsegment = 'BUILDING'
 UNION ALL
-SELECT c_custkey, c_mktsegment AS segment FROM no_orders
+SELECT c_custkey, c_mktsegment AS segment FROM no_urgent
 WHERE c_mktsegment = 'MACHINERY'
 """
 
@@ -1135,9 +1140,11 @@ def q_crossjoin_labels(spark, sf_dir):
     """Cross join with a small dim (§2.3: inputs x hypothesis-templated
     labels, zero_shot_classification.rs:730-738): every (document, relation)
     pair with the reference's default hypothesis template string."""
-    labels = spark.createDataFrame(
-        [("founded_by",), ("works_for",), ("located_in",), ("acquired",)],
-        ["relation"])
+    # JVM-side literal dim (createDataFrame from local rows would route the
+    # 4-row table through a Python RDD — a ~6s one-time cost per session)
+    labels = spark.range(1).select(F.explode(F.array(
+        F.lit("founded_by"), F.lit("works_for"),
+        F.lit("located_in"), F.lit("acquired"))).alias("relation"))
     return (
         _docs(spark, sf_dir)
         .where(F.col("doc_id") < 50)
