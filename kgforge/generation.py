@@ -475,13 +475,32 @@ def generate_beam_search(
             next_scores = scores + beam_scores[bgi, None]   # [B*gs, V]
             flat = next_scores.reshape(batch_size, gs * V)
             if cfg.do_sample:
-                filt = flat.copy()
+                # filter PER BEAM ROW ([B*gs, V], min 2 kept per beam) before
+                # flattening — the reference filters next_scores pre-view
+                # (:1280-1292)
+                filt = next_scores.copy()
                 top_k_top_p_filtering(filt, cfg.top_k, cfg.top_p, 2)
-                probs = _softmax(filt, axis=-1)
+                probs = _softmax(filt.reshape(batch_size, gs * V), axis=-1)
                 nt, ns = [], []
                 for b in range(batch_size):
-                    picks = rng.choice(gs * V, size=2 * gs, replace=False,
-                                       p=probs[b])
+                    # dead beams (score -1e9 at step 1) underflow to prob 0;
+                    # torch's multinomial(replacement=False) tolerates
+                    # sampling zero-prob categories once the support is
+                    # exhausted — emulate: weighted-sample the support, then
+                    # fill deterministically from outside it. Fillers carry
+                    # their (-inf-ish) scores and sort last, so they never
+                    # enter the live beams.
+                    support = np.nonzero(probs[b])[0]
+                    k = 2 * gs
+                    if len(support) >= k:
+                        picks = rng.choice(gs * V, size=k, replace=False,
+                                           p=probs[b])
+                    else:
+                        drawn = rng.choice(gs * V, size=len(support),
+                                           replace=False, p=probs[b])
+                        rest = np.setdiff1d(np.arange(gs * V), support)
+                        picks = np.concatenate([drawn,
+                                                rest[:k - len(support)]])
                     vals = flat[b, picks]
                     order = np.argsort(-vals, kind="stable")
                     nt.append(picks[order])

@@ -281,6 +281,21 @@ def test_diverse_beam_groups_differ():
     assert len(texts) >= 2
 
 
+def test_beam_sampling_survives_dead_beams_with_tight_nucleus():
+    """At step 1 only beam 0 is live (the others carry -1e9 scores that
+    underflow to probability 0); a tight top_p can leave fewer nonzero
+    categories than 2*num_beams. The sampler must fill deterministically
+    (torch-multinomial tolerance emulation) instead of crashing, and the
+    fillers must never enter the live beams."""
+    head = StandInLMHead(["a", "b", "c", "d"], seed=1)
+    cfg = GenerateConfig(do_sample=True, num_beams=3, max_length=8,
+                         min_length=2, top_p=0.5, top_k=2, seed=5)
+    a = generate_ids(head, ["a b"], cfg)
+    b = generate_ids(head, ["a b"], cfg)
+    assert a == b and len(a) == 1
+    assert np.isfinite(a[0][1])
+
+
 def test_beam_sampling_seeded_determinism():
     cfg = GenerateConfig(do_sample=True, num_beams=3, max_length=10,
                          min_length=2, top_p=0.9, seed=11)
