@@ -36,6 +36,24 @@ def triples(spark, tiny_pages_df, alias_df, cfg):
     return t
 
 
+def test_empty_and_degenerate_pages(spark, alias_df, cfg):
+    """At 100 TB empty partitions, null blobs and empty documents are
+    routine — the pipeline must produce zero triples, not crash."""
+    import datetime
+
+    empty = spark.createDataFrame([], schema=schemas.PAGES)
+    assert run_pipeline(spark, empty, alias_df, cfg).count() == 0
+
+    ts = datetime.datetime(2024, 1, 1)
+    degen = spark.createDataFrame(
+        [("https://a/1", ts, None, "", "en"),          # null html
+         ("https://a/2", ts, b"", "", "en"),           # empty html
+         ("https://a/3", ts, b"<html></html>", "", "en"),   # no text
+         ("https://a/4", ts, b"x", "text", "xx")],     # pruned lang
+        schema=schemas.PAGES)
+    assert run_pipeline(spark, degen, alias_df, cfg).count() == 0
+
+
 def test_no_lingering_intermediate_caches(spark, tiny_pages_df, alias_df, cfg):
     """run_pipeline must release every intermediate cache (ner_scored,
     resolved, surface edges) — long-lived sessions must not accumulate
