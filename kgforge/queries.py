@@ -723,6 +723,40 @@ def q_media_video_frames(spark, sf_dir):
 # hash-head math is not SQL-expressible; exactness is pytest-gated)
 # --------------------------------------------------------------------------
 
+def q_keywords_mmr(spark, sf_dir):
+    """#18 keyword extraction, MMR scorer (scorer.rs:90-135 port): embed doc
+    + candidates, rank by relevance-diversity tradeoff. Model-backed, so
+    rows-only (the freq scorer variant keywords_freq is the SQL-oracled
+    head; the MMR math itself is pytest-gated in tests/test_textops or
+    keywords tests)."""
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+    from .keywords import extract_keywords
+    from .workers import get_embedder
+
+    def gen(batches):
+        emb = get_embedder(64, 42)
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                kws = extract_keywords([str(text)[:300]], embedder=emb,
+                                       top_n=3, scorer="mmr")[0]
+                for rank, kw in enumerate(kws):
+                    rows.append({"doc_id": int(did), "rank": rank,
+                                 "keyword": kw.text,
+                                 "score": round(float(kw.score), 6)})
+            yield pd.DataFrame(rows)
+
+    return (_docs(spark, sf_dir).where(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+            .mapInPandas(gen, schema=StructType([
+                StructField("doc_id", LongType()),
+                StructField("rank", IntegerType()),
+                StructField("keyword", StringType()),
+                StructField("score", DoubleType()),
+            ])))
+
+
 def q_seq_classify(spark, sf_dir):
     """#10 sequence classification: softmax(-1) -> argmax -> gathered score
     (sequence_classification.rs:729-775) over document texts."""
@@ -1383,7 +1417,8 @@ QUERIES = {
     "media_image_features": q_media_image_features,
     "media_audio_stats": q_media_audio_stats,
     "media_video_frames": q_media_video_frames,
-    # model pipelines #10/#15/#16 (rows-only)
+    # model pipelines #10/#15/#16/#18-mmr (rows-only)
+    "keywords_mmr": q_keywords_mmr,
     "seq_classify": q_seq_classify,
     "masked_fill": q_masked_fill,
     "qa_extractive": q_qa_extractive,
