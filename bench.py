@@ -60,6 +60,9 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(16, cpus * 2)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide binary rows (html) at scale: cap Arrow batch rows so a batch
+        # stays ~100MB, not the 10k-row default's ~1GB (cli.py ditto)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "24g"))
         # size JVM-internal pools (GC, JIT, netty) for the Spark width, not
         # the 32 vCPUs the container advertises — otherwise GC bursts at

@@ -40,7 +40,17 @@ def main(argv: list[str] | None = None) -> int:
     from kgforge.config import PipelineConfig
     from kgforge.pipeline import materialize_triples, run_pipeline
 
-    spark = SparkSession.builder.appName("kgforge").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("kgforge")
+        # bound Arrow batch size: pages carry ~100KB html blobs at real
+        # scale, so the 10k-row default would build ~1GB Arrow batches per
+        # Python worker; 1024 rows keeps model-stage batches ~100MB while
+        # the in-UDF micro-batcher (cfg.batch_size=64, the reference's
+        # batch_size, token_classification.rs:291) controls compute shape
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     cfg = PipelineConfig(relation_threshold=args.threshold,
