@@ -73,12 +73,21 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 20, materialize: bool = False
 ) -> DataFrame:
     """edges(src:string, dst:string) -> (node:string, component:string).
 
     component is the minimum node id of the node's component. Deterministic;
     converges in O(log n) alternating rounds.
+
+    Each round localCheckpoints its edge set (lineage would otherwise grow
+    exponentially through the self-joins); RETIRED rounds' blocks are freed
+    eagerly via ``_release_local_checkpoint`` — DataFrame.unpersist cannot
+    release localCheckpoint storage, and the SQL listener pins the plans so
+    ContextCleaner never reclaims them within a session. With
+    ``materialize=True`` the final mapping itself is localCheckpointed and
+    the last iteration state freed, so the caller may drop the input edges
+    cache immediately.
     """
     spark = edges.sparkSession
     # Spark 4.1's UnionBase.rewriteConstraints crashes ("key not found:
@@ -98,8 +107,10 @@ def connected_components(
         prev_sig = None
         converged = False
         for _ in range(max_iterations):
-            cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-            sig = _checksum(cur)
+            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            sig = _checksum(nxt)
+            _release_local_checkpoint(cur)   # retired iteration state
+            cur = nxt
             if sig == prev_sig:
                 converged = True
                 break
@@ -134,7 +145,23 @@ def connected_components(
               "node", "left_anti")
         .withColumn("component", F.col("node"))
     )
-    return members.unionByName(roots).unionByName(singletons)
+    out = members.unionByName(roots).unionByName(singletons)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        _release_local_checkpoint(cur)
+    return out
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a RETIRED localCheckpoint's blocks. DataFrame.unpersist is a
+    no-op for them (RDD-level persistence, invisible to the CacheManager),
+    so reach the checkpointed RDD through the analyzed LogicalRDD. The
+    frame must never be used again afterwards. Best-effort: the handle is
+    internal API, and failing to free is only a storage leak."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def cc_unionfind(edge_list: list[tuple[str, str]]) -> dict[str, str]:

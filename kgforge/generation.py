@@ -337,6 +337,24 @@ class BeamHypotheses:
             current_length ** self.length_penalty)
 
 
+def _pad_prompts(input_rows: list[list[int]],
+                 is_encoder_decoder: bool) -> tuple[list[list[int]], int]:
+    """Rectangularize ragged prompts: the reference pads LEFT for causal
+    models and right for encoder-decoders (:455-470). Both decode paths need
+    this — an unpadded shorter row would compute its no-repeat-ngram query
+    slice against the global current_length and silently disable the ban."""
+    rows = [list(r) for r in input_rows]
+    cur = max(len(r) for r in rows)
+    for r in rows:
+        short = cur - len(r)
+        if short:
+            if is_encoder_decoder:
+                r.extend([PAD_ID] * short)
+            else:
+                r[:0] = [PAD_ID] * short
+    return rows, cur
+
+
 # --------------------------------------------------------------------------
 # greedy / sampling decode (generate_no_beam_search, :822-1035)
 # --------------------------------------------------------------------------
@@ -351,19 +369,8 @@ def generate_no_beam_search(
     """Returns the full id sequences (prompt included, pad-filled tails for
     early-finished rows) exactly like the reference's returned input_ids."""
     batch_size = len(input_rows)
-    input_ids = [list(r) for r in input_rows]
-    cur = max(len(r) for r in input_ids)
-    # pad for batch uniformity: the reference pads LEFT for causal models and
-    # right for encoder-decoders (:455-470)
-    for r in input_ids:
-        short = cur - len(r)
-        if short:
-            if head.is_encoder_decoder:
-                r.extend([PAD_ID] * short)
-            else:
-                r[:0] = [PAD_ID] * short
+    input_ids, cur = _pad_prompts(input_rows, head.is_encoder_decoder)
     unfinished = np.ones(batch_size, dtype=np.int64)
-    sentence_lengths = np.ones(batch_size, dtype=np.int64)
     rng = np.random.default_rng(cfg.seed)
     current_length = cur
     while True:
@@ -390,17 +397,18 @@ def generate_no_beam_search(
         else:
             next_token = logits.argmax(axis=-1)
         # finished rows append pad: next*u - pad*(u-1)  (:976-982)
+        # (the reference's sentence_lengths bookkeeping only feeds its
+        # optional output_scores path, which is not ported — decode skips
+        # the pad tails instead)
         tokens_to_add = next_token * unfinished + PAD_ID * (1 - unfinished)
         for i, t in enumerate(tokens_to_add):
             input_ids[i].append(int(t))
         sentence_with_eos = (tokens_to_add == EOS_ID).astype(np.int64) * unfinished
-        sentence_lengths[sentence_with_eos.astype(bool)] = current_length + 1
         unfinished = -unfinished * (sentence_with_eos - 1)  # :995
         if unfinished.max() == 0:
             break
         current_length += 1
         if cfg.max_length is not None and current_length >= cfg.max_length:
-            sentence_lengths[unfinished.astype(bool)] = current_length
             break
     return input_ids
 
@@ -427,7 +435,8 @@ def generate_beam_search(
     V = head.vocab_size
     rng = np.random.default_rng(cfg.seed)
 
-    input_ids = [list(input_rows[b]) for b in range(batch_size)
+    padded, _cur = _pad_prompts(input_rows, head.is_encoder_decoder)
+    input_ids = [list(padded[b]) for b in range(batch_size)
                  for _ in range(nb)]
     enc = ([encoder_rows[b] for b in range(batch_size) for _ in range(nb)]
            if encoder_rows is not None else None)
@@ -515,9 +524,14 @@ def generate_beam_search(
             token_id = next_tokens - beam_id * V
             max_scores = next_scores_top.max(axis=1)
             is_eos = token_id == EOS_ID
-            # finished-candidate bookkeeping (:1310-1352)
+            # finished-candidate bookkeeping (:1310-1352). The rank guard is
+            # against the GROUP's beam count: an EOS candidate ranked worse
+            # than the group's top gs beams is dropped (the reference
+            # compares against num_beams, which equals gs when groups=1 and
+            # is unreachable dead code when groups>1 — this is the intended
+            # semantic)
             for b, pos in zip(*np.nonzero(is_eos)):
-                if done[b] or pos >= nb:
+                if done[b] or pos >= gs:
                     continue
                 # group-local beam row (the hypothesis content); full-space
                 # index is recovered below for surviving beams
@@ -633,14 +647,16 @@ class TextGenerator:
                 max_length=(None if cfg.max_length is None
                             else cfg.max_length + prefix_length))
         out = []
-        for text, (ids, _) in zip(prompts, generate_ids(self.head, prompts,
-                                                        cfg)):
-            n_prompt = 1 + len(self.head.encode(text))   # BOS + prompt ids
-            strip = prefix_length if prefix is not None else 0
+        strip = prefix_length if prefix is not None else 0
+        for ids, _ in generate_ids(self.head, prompts, cfg):
             # reference decodes [prefix_length..] then skips specials; our
-            # prompt is part of the output in causal mode, so strip
-            # prefix-only tokens and keep the original text continuation
-            out.append(self.head.decode(ids[1 + strip:]))
+            # prompt is part of the output in causal mode, so drop the
+            # prefix tokens and keep the original text continuation. Causal
+            # batches are LEFT-padded, so slice relative to BOS, not 0 —
+            # slicing from 0 would strip pads and leak the prefix on the
+            # shorter rows of a ragged batch.
+            bos = ids.index(BOS_ID)
+            out.append(self.head.decode(ids[bos + 1 + strip:]))
         return out
 
 

@@ -516,9 +516,14 @@ def surface_components(
         pairs = [(r["src"], r["dst"]) for r in edges.collect()]
         edges.unpersist(blocking=True)
         return cc_unionfind(pairs)
-    return connected_components(
-        edges, max_iterations=max_cc_iterations
+    # distributed branch: materialize the (much smaller) mapping so the
+    # edges cache AND the CC iteration state can be released here — a lazy
+    # plan would pin edges in storage for the session lifetime
+    comp = connected_components(
+        edges, max_iterations=max_cc_iterations, materialize=True
     ).withColumnRenamed("node", "surf")
+    edges.unpersist(blocking=True)
+    return comp
 
 
 def stage_triples_inline(

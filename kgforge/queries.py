@@ -630,8 +630,11 @@ def q_kg_zero_shot(spark, sf_dir):
 def doc_embeddings_raw(spark, sf_dir):
     """Raw sentence-embedding vectors over documents (reference
     sentence_embeddings semantics: masked mean pooling + L2 normalize,
-    layers.rs:39-76 / pipeline.rs:403-411) as ArrayType(FloatType) —
-    internal form consumed by downstream similarity ops."""
+    layers.rs:39-76 / pipeline.rs:403-411) as ArrayType(FloatType) — the
+    library-facing form of the operator (users compose it with the
+    similarity ops); the driver-contract query ``kg_doc_embeddings`` exposes
+    the scalar digest of the same vectors because the driver's value canon
+    cannot sort array columns."""
     from pyspark.sql.types import (ArrayType, FloatType, LongType,
                                    StructField, StructType)
     from .workers import get_embedder

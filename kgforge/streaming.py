@@ -14,10 +14,12 @@ Design:
   - ``run_triples_stream``: the five-stage pipeline per micro-batch via
     ``foreachBatch``. The KG pipeline is multi-pass (connected components
     iterates; linking broadcasts) which no single streaming plan can
-    express, so foreachBatch is the idiomatic escape hatch: source offsets
-    live in the checkpoint (a file is processed exactly once across
-    restarts) and each batch's triples are APPENDED to the partitioned
-    table with the same bucketed write layout as the batch writer.
+    express, so foreachBatch is the idiomatic escape hatch. Exactly-once
+    EFFECT: source offsets live in the checkpoint AND each batch writes to
+    its own ``batch=<id>`` directory with overwrite via the shared
+    ``materialize_triples`` writer — a crash between the data write and the
+    offset commit replays the batch into the same directory, overwriting
+    rather than duplicating (foreachBatch alone is only at-least-once).
 
 At 100 TB the same topology holds: the file source scales by listing, the
 watermark bounds agg state, and each micro-batch is a bounded batch job.
@@ -76,16 +78,11 @@ def run_triples_stream(
     pages = read_page_stream(spark, in_path, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from .pipeline import materialize_triples
         triples = run_pipeline(spark, batch_df, alias_df, cfg)
-        (
-            triples
-            .repartition(F.col("pred"),
-                         F.pmod(F.xxhash64("url"), F.lit(8)))
-            .sortWithinPartitions("url")
-            .write.mode("append")
-            .partitionBy("pred")
-            .parquet(out_path)
-        )
+        # idempotent on replay: batch-keyed directory + overwrite, same
+        # bucketed pred-partitioned layout as the batch writer
+        materialize_triples(triples, f"{out_path}/batch={batch_id}")
 
     writer = (
         pages.writeStream

@@ -171,7 +171,15 @@ class Translator:
             self.supported_source_languages, self.supported_target_languages,
             self._token_to_id)
         if prefix is not None:
-            texts = [f"{prefix}{t}" for t in texts]
+            # the reference concatenates prefix+text directly
+            # (translation_pipeline.rs:1487-1495) because subword tokenizers
+            # split at the ':'/marker boundary anyway; our word-level head
+            # splits on whitespace, so flavors whose prefix carries no
+            # trailing space (T5 "…:", NLLB "eng_Latn") must get a
+            # separator or the prefix fuses with — and drops — the first
+            # source word
+            sep = "" if prefix.endswith(" ") else " "
+            texts = [f"{prefix}{sep}{t}" for t in texts]
         cfg = self.cfg
         if forced_bos is not None:
             from dataclasses import replace

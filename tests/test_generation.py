@@ -261,12 +261,28 @@ def test_beam_returns_sorted_num_return_sequences():
 
 
 def test_beam_batch_independence():
-    """Each batch row's best hypothesis is independent of its batchmates."""
+    """Each batch row's best hypothesis is independent of its batchmates
+    (equal-length prompts: ragged prompts gain a left pad that enters the
+    hypothesis length exactly as in the reference)."""
+    cfg = GenerateConfig(do_sample=False, num_beams=3, max_length=10,
+                         min_length=2)
+    solo = generate_ids(_head(), ["planet star"], cfg)[0]
+    batch = generate_ids(_head(), ["planet star", "team data"], cfg)[0]
+    assert solo[0] == batch[0] and abs(solo[1] - batch[1]) < 1e-12
+
+
+def test_beam_ragged_prompts_padded_left():
+    """Ragged causal prompts are LEFT-padded before beam decode (reference
+    :455-470): the shorter row's hypothesis is its solo decode behind a pad
+    prefix, and the ngram-ban bookkeeping stays aligned."""
     cfg = GenerateConfig(do_sample=False, num_beams=3, max_length=10,
                          min_length=2)
     solo = generate_ids(_head(), ["planet star"], cfg)[0]
     batch = generate_ids(_head(), ["planet star", "team data light"], cfg)[0]
-    assert solo[0] == batch[0] and abs(solo[1] - batch[1]) < 1e-12
+    ids = batch[0]
+    assert ids[0] == PAD_ID and ids[1] == BOS_ID
+    assert [t for t in ids if t != PAD_ID] == [t for t in solo[0]
+                                               if t != PAD_ID]
 
 
 def test_diverse_beam_groups_differ():
@@ -351,6 +367,23 @@ def test_summary_draws_from_source():
                   max_length=16)
     out = Summarizer(_head(is_encoder_decoder=True), cfg).summarize([DOC])[0]
     assert set(out.split()) <= set(DOC.split())
+
+
+def test_text_generator_prefix_stripped_in_ragged_batch():
+    """Causal batches are LEFT-padded: stripping by absolute position would
+    remove pads instead of the prefix on the shorter rows. The short row's
+    output must not leak the prefix word."""
+    head = StandInLMHead(["alpha", "beta", "gamma", "delta"],
+                         planted={"alpha": "beta", "beta": "gamma",
+                                  "gamma": "<eos>"})
+    cfg = GenerateConfig(do_sample=False, num_beams=1, max_length=8,
+                         min_length=0)
+    tg = TextGenerator(head, cfg)
+    batch = tg.generate(["beta", "beta gamma delta"], prefix="alpha")
+    solo = tg.generate(["beta"], prefix="alpha")[0]
+    assert batch[0] == solo
+    assert not batch[0].startswith("alpha")
+    assert not batch[1].startswith("alpha")
 
 
 def test_text_generator_prefix_stripped():

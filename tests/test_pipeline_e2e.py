@@ -36,6 +36,39 @@ def triples(spark, tiny_pages_df, alias_df, cfg):
     return t
 
 
+def test_distributed_cc_branch_matches_driver_unionfind(spark, tiny_pages_df,
+                                                        alias_df, cfg):
+    """The at-scale fallback (surface graph > collect_threshold -> the
+    distributed large-star/small-star operator) must produce exactly the
+    driver-side union-find mapping, and must release its edges cache."""
+    from kgforge.pipeline import (repartition_by_length, stage_extract_sentences,
+                                  stage_link, stage_mentions, stage_ner_score,
+                                  surface_components)
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    ner = stage_ner_score(
+        repartition_by_length(stage_extract_sentences(tiny_pages_df), cfg),
+        cfg).persist()
+    resolved = stage_link(stage_mentions(ner), alias_df, cfg).persist()
+    resolved.count()
+
+    comp_dict = surface_components(resolved, resolved)
+    assert isinstance(comp_dict, dict) and comp_dict
+
+    before = n_cached()
+    comp_df = surface_components(resolved, resolved, collect_threshold=0)
+    assert not isinstance(comp_df, dict)
+    mapping = {r["surf"]: r["component"] for r in comp_df.collect()}
+    assert mapping == comp_dict
+    # cache discipline: edges and every retired CC iteration state are
+    # freed eagerly; only the materialized mapping itself remains
+    assert n_cached() - before <= 1, (n_cached(), before)
+    ner.unpersist()
+    resolved.unpersist()
+
+
 def test_empty_and_degenerate_pages(spark, alias_df, cfg):
     """At 100 TB empty partitions, null blobs and empty documents are
     routine — the pipeline must produce zero triples, not crash."""

@@ -55,9 +55,24 @@ def test_stream_triples_exactly_once_and_matches_batch(spark, alias_df,
     batch_all = run_pipeline(spark, pages_all, alias_df, cfg)
     assert got2 == _sorted_triples(batch_all)      # no dupes, no gaps
 
-    # partitioned layout matches the batch writer's (pred directories)
-    preds = {d for d in os.listdir(outdir) if d.startswith("pred=")}
-    assert preds, "expected pred=... partition directories"
+    # layout: batch-keyed directories (replay idempotency), each with the
+    # batch writer's pred partitioning inside
+    batches = sorted(d for d in os.listdir(outdir) if d.startswith("batch="))
+    assert batches, "expected batch=... directories"
+    preds = {d for d in os.listdir(os.path.join(outdir, batches[0]))
+             if d.startswith("pred=")}
+    assert preds, "expected pred=... partition directories inside a batch"
+
+    # replay idempotency: re-writing the same batch directory (what a
+    # crash-after-write/before-offset-commit replay does) must not
+    # duplicate rows (written OUTSIDE outdir so earlier assertions hold)
+    from kgforge.pipeline import materialize_triples
+    replay_dir = str(tmp_path / "replay" / "batch=0")
+    materialize_triples(batch_all, replay_dir)
+    before = spark.read.parquet(replay_dir).count()
+    materialize_triples(batch_all, replay_dir)
+    after = spark.read.parquet(replay_dir).count()
+    assert before == after == len(got2)
 
     # third restart with NO new input: a no-op (still exactly once)
     q3 = run_triples_stream(spark, indir, outdir, ckpt, alias_df, cfg)

@@ -136,6 +136,19 @@ def test_translate_deterministic_and_marker_free():
     assert ">>" not in a[0] and a[0]            # markers never leak
 
 
+def test_nllb_prefix_does_not_swallow_first_source_word():
+    """NLLB/T5 prefixes carry no trailing space; the word-level head must
+    still see the first source word (a fused 'eng_Latndata' token would
+    silently drop both). With a single-word source, losing it would empty
+    the encoder set and produce an empty translation."""
+    head = _head()
+    tr = Translator(head, NLLB, SUP, SUP,
+                    GenerateConfig(do_sample=False, num_beams=1,
+                                   max_length=10, min_length=1))
+    out = tr.translate(["data data data"], "English", "French")[0]
+    assert "data" in out.split(), out
+
+
 def test_translate_forced_bos_changes_decode_state():
     """The forced-BOS token is the decoder's first step (step-1 force,
     generation_utils.rs:336-345): decodes for different targets may branch
