@@ -57,6 +57,7 @@ class GenerateConfig:
     num_beam_groups: int | None = None
     diversity_penalty: float | None = None
     forced_bos_token_id: int | None = None
+    bad_word_ids: tuple[tuple[int, ...], ...] | None = None
     seed: int = 42  # ours (see module docstring); not in the reference
 
     def validate(self) -> None:
@@ -282,6 +283,54 @@ def prepare_scores_for_generation(scores: np.ndarray, current_length: int,
         force_token_id(scores, forced_eos_token_id)
 
 
+def split_bad_word_ids(bad_word_ids):
+    """Port of split_bad_word_ids (generation_utils.rs:674-703): length-1
+    bad words become a static ban list; longer ones are banned dynamically
+    when the hypothesis tail matches their prefix."""
+    if not bad_word_ids:
+        return None, None
+    ones = [bw[0] for bw in bad_word_ids if len(bw) == 1]
+    longer = [list(bw) for bw in bad_word_ids if len(bw) > 1]
+    return (ones or None, longer or None)
+
+
+def tokens_match(prev_tokens: list[int], tokens: list[int]) -> bool:
+    """Port of tokens_match (:706-714): `tokens` is a suffix of prev."""
+    if not tokens:
+        return True
+    if len(tokens) > len(prev_tokens):
+        return False
+    return prev_tokens[len(prev_tokens) - len(tokens):] == list(tokens)
+
+
+def ban_bad_words(scores: np.ndarray, input_ids: list[list[int]],
+                  static_ones: list[int] | None,
+                  dynamic_longer: list[list[int]] | None) -> None:
+    """In place. Port of calc_static_bad_word_mask + get_dynamic_bad_word_ids
+    + ban_bad_words (:716-818): static length-1 bans apply always; a longer
+    bad word bans its last token when the row ends with its prefix."""
+    if static_ones:
+        scores[:, static_ones] = NEG_INF
+    if dynamic_longer:
+        for i, row in enumerate(input_ids):
+            for bw in dynamic_longer:
+                if tokens_match(row, bw[:-1]):
+                    scores[i, bw[-1]] = NEG_INF
+
+
+def apply_prefix_allowed_tokens_fn(scores: np.ndarray,
+                                   input_ids: list[list[int]],
+                                   fn, num_beams: int) -> None:
+    """In place. Port of apply_prefix_allowed_tokens_function (:649-672):
+    everything outside fn(batch_id, row_ids) -> allowed token ids becomes
+    -inf (the reference subtracts a +inf mask)."""
+    mask = np.full(scores.shape, np.inf)
+    for idx, row in enumerate(input_ids):
+        allowed = fn(idx // num_beams, row)
+        mask[idx, list(allowed)] = 0.0
+    scores -= mask
+
+
 def hamming_diversity_penalty(scores: np.ndarray, current_tokens: np.ndarray,
                               diversity_penalty: float, num_beams: int,
                               batch_size: int, group_size: int,
@@ -365,6 +414,7 @@ def generate_no_beam_search(
     cfg: GenerateConfig,
     encoder_rows: list[list[int]] | None = None,
     forced_eos_token_id: int | None = None,
+    prefix_allowed_tokens_fn=None,
 ) -> list[list[int]]:
     """Returns the full id sequences (prompt included, pad-filled tails for
     early-finished rows) exactly like the reference's returned input_ids."""
@@ -372,16 +422,22 @@ def generate_no_beam_search(
     input_ids, cur = _pad_prompts(input_rows, head.is_encoder_decoder)
     unfinished = np.ones(batch_size, dtype=np.int64)
     rng = np.random.default_rng(cfg.seed)
+    static_bad, dynamic_bad = split_bad_word_ids(cfg.bad_word_ids)
     current_length = cur
     while True:
         logits = head.next_logits(input_ids, encoder_rows)
         if cfg.repetition_penalty > 1.0:
             enforce_repetition_penalty(logits, input_ids,
                                        cfg.repetition_penalty)
+        if cfg.bad_word_ids:                      # :885-901
+            ban_bad_words(logits, input_ids, static_bad, dynamic_bad)
         if cfg.no_repeat_ngram_size > 0:
             for i, banned in enumerate(banned_ngram_tokens(
                     input_ids, cfg.no_repeat_ngram_size, current_length)):
                 logits[i, banned] = NEG_INF
+        if prefix_allowed_tokens_fn is not None:  # :923-931
+            apply_prefix_allowed_tokens_fn(logits, input_ids,
+                                           prefix_allowed_tokens_fn, 1)
         if current_length < cfg.min_length:       # eos ban before min_length
             logits[:, EOS_ID] = NEG_INF
         prepare_scores_for_generation(logits, current_length, cfg.max_length,
@@ -423,6 +479,7 @@ def generate_beam_search(
     cfg: GenerateConfig,
     encoder_rows: list[list[int]] | None = None,
     forced_eos_token_id: int | None = None,
+    prefix_allowed_tokens_fn=None,
 ) -> list[tuple[list[int], float]]:
     """Returns num_return_sequences (hypothesis_ids, score) per input, best
     first — the reference's decoded output + sentence scores."""
@@ -434,6 +491,7 @@ def generate_beam_search(
                          if cfg.diversity_penalty is not None else 5.5)
     V = head.vocab_size
     rng = np.random.default_rng(cfg.seed)
+    static_bad, dynamic_bad = split_bad_word_ids(cfg.bad_word_ids)
 
     padded, _cur = _pad_prompts(input_rows, head.is_encoder_decoder)
     input_ids = [list(padded[b]) for b in range(batch_size)
@@ -472,6 +530,8 @@ def generate_beam_search(
             scores = _log_softmax(next_token_logits, axis=-1)
             if current_length < cfg.min_length:
                 scores[:, EOS_ID] = NEG_INF
+            if cfg.bad_word_ids:                      # :1213-1231
+                ban_bad_words(scores, group_rows, static_bad, dynamic_bad)
             if cfg.no_repeat_ngram_size > 0:
                 for i, banned in enumerate(banned_ngram_tokens(
                         group_rows, cfg.no_repeat_ngram_size,
@@ -481,6 +541,9 @@ def generate_beam_search(
                 hamming_diversity_penalty(
                     scores, current_tokens, diversity_penalty, nb,
                     batch_size, gs, g_start, V)
+            if prefix_allowed_tokens_fn is not None:  # :1262-1269
+                apply_prefix_allowed_tokens_fn(
+                    scores, group_rows, prefix_allowed_tokens_fn, gs)
             next_scores = scores + beam_scores[bgi, None]   # [B*gs, V]
             flat = next_scores.reshape(batch_size, gs * V)
             if cfg.do_sample:
@@ -591,7 +654,8 @@ def generate_beam_search(
 # --------------------------------------------------------------------------
 
 def generate_ids(head: StandInLMHead, texts: list[str], cfg: GenerateConfig,
-                 forced_eos_token_id: int | None = None
+                 forced_eos_token_id: int | None = None,
+                 prefix_allowed_tokens_fn=None,
                  ) -> list[tuple[list[int], float | None]]:
     """texts -> generated id sequences (+ beam score when beam-searched).
 
@@ -607,9 +671,11 @@ def generate_ids(head: StandInLMHead, texts: list[str], cfg: GenerateConfig,
         input_rows = [[BOS_ID] + head.encode(t) for t in texts]
     if cfg.num_beams > 1:
         return generate_beam_search(head, input_rows, cfg, encoder_rows,
-                                    forced_eos_token_id)
+                                    forced_eos_token_id,
+                                    prefix_allowed_tokens_fn)
     seqs = generate_no_beam_search(head, input_rows, cfg, encoder_rows,
-                                   forced_eos_token_id)
+                                   forced_eos_token_id,
+                                   prefix_allowed_tokens_fn)
     return [(s, None) for s in seqs]
 
 

@@ -121,6 +121,72 @@ def test_config_validation():
         GenerateConfig(num_beams=5, num_beam_groups=2).validate()
 
 
+def test_split_bad_word_ids():
+    from kgforge.generation import split_bad_word_ids
+    ones, longer = split_bad_word_ids(((5,), (6, 7), (8,), (9, 10, 11)))
+    assert ones == [5, 8]
+    assert longer == [[6, 7], [9, 10, 11]]
+    assert split_bad_word_ids(None) == (None, None)
+    assert split_bad_word_ids(((5,),)) == ([5], None)
+
+
+def test_ban_bad_words_static_and_dynamic():
+    """:716-818 — length-1 bans always; longer bad words ban their last
+    token only when the row ends with the prefix."""
+    from kgforge.generation import ban_bad_words, tokens_match
+    assert tokens_match([1, 2, 3], [2, 3])
+    assert not tokens_match([1, 2, 3], [1, 2])
+    assert tokens_match([1, 2, 3], [])
+    assert not tokens_match([1], [1, 2])
+    scores = np.zeros((2, 6))
+    ban_bad_words(scores, [[1, 2], [3, 4]], static_ones=[5],
+                  dynamic_longer=[[2, 0]])
+    assert np.isneginf(scores[:, 5]).all()          # static: both rows
+    assert np.isneginf(scores[0, 0])                # row0 ends with 2 -> ban 0
+    assert np.isfinite(scores[1, 0])                # row1 doesn't
+
+
+def test_bad_words_in_greedy_decode():
+    """A planted continuation that is also a banned word must be skipped."""
+    head = StandInLMHead(["alpha", "beta", "gamma", "delta"],
+                         planted={"alpha": "beta"})
+    beta_id = head.word_id["beta"]
+    cfg = GenerateConfig(do_sample=False, num_beams=1, max_length=6,
+                         min_length=0, bad_word_ids=((beta_id,),))
+    ids, _ = generate_ids(head, ["alpha"], cfg)[0]
+    assert beta_id not in ids
+    # without the ban the planted continuation wins
+    ids2, _ = generate_ids(head, ["alpha"],
+                           replace(cfg, bad_word_ids=None))[0]
+    assert beta_id in ids2
+
+
+def test_prefix_allowed_tokens_fn_constrains_decode():
+    """:649-672 — constrained decoding: only the allowed ids may be
+    generated at each step (the reference's closure extension surface)."""
+    head = StandInLMHead(["alpha", "beta", "gamma", "delta"], seed=3)
+    allowed = [head.word_id["gamma"], EOS_ID]
+
+    def only_gamma(batch_id, row_ids):
+        return allowed
+
+    # min_length 5 = prompt(3) + 2: forces at least two constrained steps
+    # before EOS may fire
+    cfg = GenerateConfig(do_sample=False, num_beams=1, max_length=8,
+                         min_length=5, no_repeat_ngram_size=0)
+    ids, _ = generate_ids(head, ["alpha beta"], cfg,
+                          prefix_allowed_tokens_fn=only_gamma)[0]
+    prompt_len = 3                                   # BOS + 2 words
+    gen = [t for t in ids[prompt_len:] if t != PAD_ID]
+    assert gen and set(gen) <= set(allowed)
+    # beam path honors the same constraint
+    ids_b, _ = generate_ids(head, ["alpha beta"],
+                            replace(cfg, num_beams=3),
+                            prefix_allowed_tokens_fn=only_gamma)[0]
+    gen_b = [t for t in ids_b[prompt_len:] if t != PAD_ID]
+    assert gen_b and set(gen_b) <= set(allowed)
+
+
 # --------------------------------------------------------------------------
 # beam hypotheses (:2260-2373)
 # --------------------------------------------------------------------------
