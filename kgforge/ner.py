@@ -168,8 +168,12 @@ def predict_pos(texts: list[str], cfg: PipelineConfig, seed: int = 42) -> list[l
     ]
 
 
-def _consolidate_label(group: list[Token], aggregation: str) -> tuple[int, str]:
-    """Label aggregation (token_classification.rs:1204-1232)."""
+def _consolidate_label(group: list[Token], aggregation) -> tuple[int, str]:
+    """Label aggregation (token_classification.rs:1204-1232). A callable is
+    the Custom variant (LabelAggregationOption::Custom(fn), :221): it
+    receives the sub-token group and returns (label_index, label)."""
+    if callable(aggregation):
+        return aggregation(group)
     if aggregation == "first":
         return group[0].label_index, group[0].label
     if aggregation == "last":
@@ -186,7 +190,7 @@ def _consolidate_label(group: list[Token], aggregation: str) -> tuple[int, str]:
     raise ValueError(f"unknown label aggregation {aggregation!r}")
 
 
-def consolidate_tokens(tokens: list[Token], aggregation: str = "first") -> list[Token]:
+def consolidate_tokens(tokens: list[Token], aggregation="first") -> list[Token]:
     """Merge continuation sub-words into word-level tokens
     (token_classification.rs:1137-1202). Groups are a word-initial token plus
     its following MASK_CONTINUATION tokens; score is the product of

@@ -58,6 +58,21 @@ def test_consolidate_last_aggregation():
     assert out[0].label == "I-LOC"
 
 
+def test_consolidate_custom_aggregation_callable():
+    """LabelAggregationOption::Custom(fn) (token_classification.rs:221):
+    a user callable over the sub-token group decides the word label."""
+    group = [tok("Amél", "B-PER", 0.9, mask=0), tok("ie", "I-LOC", 0.99, mask=1)]
+
+    def highest_score(g):
+        best = max(g, key=lambda t: t.score)
+        return best.label_index, best.label
+
+    out = consolidate_tokens(group, highest_score)
+    assert out[0].label == "I-LOC"
+    # score product still follows agreement with the CHOSEN label
+    assert math.isclose(out[0].score, (1 - 0.9) * 0.99)
+
+
 def test_consolidate_mode_tie_break_by_count_then_max_score():
     # Mode: max by (count, max score) — token_classification.rs:1218-1232
     group = [
