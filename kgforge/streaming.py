@@ -28,6 +28,9 @@ watermark bounds agg state, and each micro-batch is a bounded batch job.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (ArrayType, StringType, StructField,
+                               StructType)
 
 from . import schemas
 from .config import PipelineConfig
@@ -55,6 +58,52 @@ def page_rates_windowed(pages: DataFrame, window: str = "1 hour",
         .select(F.col("window.start").alias("win_start"),
                 F.col("window.end").alias("win_end"),
                 "domain", "n_pages")
+    )
+
+
+def stream_dedup_pages(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): exact
+    dedup ACROSS micro-batches — a page whose md5(text) was already seen in
+    any earlier batch (or earlier in this one) is dropped.
+
+    Scale shape: state is keyed by a hash bucket of the text digest, so the
+    only shuffle is on ``bucket`` and per-group state holds ~|corpus|/B
+    digests — B sizes state to executor memory at any corpus size; the
+    state store checkpoints with the query, so dedup survives restarts
+    exactly like the source offsets."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    out_schema = StructType([
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("text_md5", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("seen", ArrayType(StringType())),
+    ])
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            keep = []
+            for i, h in enumerate(pdf["text_md5"]):
+                if h not in seen:
+                    seen.add(h)
+                    keep.append(i)
+            if keep:
+                yield pdf.iloc[keep][["url", "lang", "text_md5"]]
+        state.update((sorted(seen),))
+
+    return (
+        pages
+        .withColumn("text_md5", F.md5(F.col("text").cast("binary")))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("text_md5"), F.lit(n_buckets)))
+        .select("bucket", "url", "lang", "text_md5")
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            dedup, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
     )
 
 

@@ -101,6 +101,55 @@ def test_windowed_rates_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates WITHIN a batch, ACROSS
+    batches, and ACROSS restarts (state store checkpoints with the query)
+    are all dropped exactly once."""
+    import datetime
+
+    from kgforge.streaming import read_page_stream, stream_dedup_pages
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime.datetime(2024, 1, 1)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(u, ts, b"x", t, "en") for u, t in rows],
+            schema=schemas.PAGES).coalesce(1).write.mode("append") \
+            .parquet(indir)
+
+    def run_once():
+        q = (stream_dedup_pages(read_page_stream(spark, indir))
+             .writeStream.format("parquet")
+             .option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    # batch 1: one in-batch duplicate
+    write_batch([("u1", "alpha text"), ("u2", "beta text"),
+                 ("u3", "alpha text")])
+    run_once()
+    got1 = spark.read.parquet(outdir).collect()
+    assert len(got1) == 2
+    assert {r["text_md5"] for r in got1} == \
+        {r["text_md5"] for r in got1}  # distinct by construction
+
+    # batch 2 (restarted query): repeats of batch 1 + one new text
+    write_batch([("u4", "alpha text"), ("u5", "gamma text"),
+                 ("u6", "beta text")])
+    run_once()
+    got2 = spark.read.parquet(outdir).collect()
+    assert len(got2) == 3                       # only gamma was new
+    assert len({r["text_md5"] for r in got2}) == 3
+    urls = {r["url"] for r in got2}
+    assert "u5" in urls and "u4" not in urls and "u6" not in urls
+
+
 def test_max_files_per_trigger_bounds_batches(spark, alias_df, tmp_path):
     """maxFilesPerTrigger caps micro-batch size (the memory bound at scale):
     3 input files with cap 1 -> 3 micro-batches."""
