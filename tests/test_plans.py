@@ -64,6 +64,33 @@ def test_link_stage_has_no_shuffle(spark, tiny_pages_df, alias_df):
     assert "Exchange" not in plan, plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located joins via bucketing (SURVEY §4 'Shuffle/partitioning'):
+    two tables bucketed+sorted on the join key must sort-merge join with
+    ZERO Exchange — the 100 TB recipe for repeated big-big joins (write
+    once bucketed, join many times shuffle-free)."""
+    import re
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    for name, df in (("bkt_a", a), ("bkt_b", b)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, "k").sortBy("k")
+         .option("path", str(tmp_path / name))
+         .saveAsTable(name))
+    joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    plan = _plan(joined)
+    try:
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_pipeline_has_single_bigdata_exchange(spark, alias_df):
     """The scored-candidates plan (pages -> sentences -> NER -> candidates ->
     NLI) must contain exactly ONE Exchange: the length repartition.
