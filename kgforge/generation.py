@@ -691,8 +691,12 @@ GREEDY_TEXT_CONFIG = GenerateConfig(
 class TextGenerator:
     """Port of TextGenerationModel semantics (text_generation.rs:602-668):
     optional prefix is prepended as "{prefix} {text}", min/max lengths are
-    extended by the prefix token count, and the prefix+prompt tokens are
-    stripped from the decoded output."""
+    extended by the prefix token count, and the prefix tokens are stripped
+    from the decoded output.
+
+    Output contract (reference: one string per generated sequence): a FLAT
+    list of batch_size * num_return_sequences strings in input-major order —
+    with num_return_sequences > 1, each input's hypotheses are consecutive."""
 
     def __init__(self, head: StandInLMHead, cfg: GenerateConfig):
         assert not head.is_encoder_decoder

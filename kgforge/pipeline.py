@@ -432,7 +432,8 @@ def _occ_node(prefix: str = "o:") -> F.Column:
 
 
 def stage_canon(resolved: DataFrame, mentions: DataFrame,
-                max_cc_iterations: int = 20) -> DataFrame:
+                max_cc_iterations: int = 20,
+                comp: DataFrame | dict | None = None) -> DataFrame:
     """Same-as evidence -> connected components -> occurrence->canonical.
 
     Dictionary/ANN-resolved occurrences already have a canonical id (the
@@ -453,7 +454,10 @@ def stage_canon(resolved: DataFrame, mentions: DataFrame,
         .select("node", F.col("entity_id").alias("canonical_id"))
     )
     unresolved = occ.where(F.col("entity_id").isNull())
-    comp = surface_components(resolved, mentions, max_cc_iterations)
+    if comp is None:
+        comp = surface_components(resolved, mentions, max_cc_iterations)
+    # else: caller already ran surface_components (run_pipeline branches on
+    # its type) — reuse it rather than re-running the whole CC
     if isinstance(comp, dict):
         spark = resolved.sparkSession
         cc = F.broadcast(spark.createDataFrame(
@@ -681,8 +685,10 @@ def run_pipeline(
             lambda: stage_triples_inline(scored, alias_dict, comp, cfg),
             spark, workdir, "s5_triples", ch, mh)
     else:
-        # at-scale fallback: distributed CC + occurrence-keyed equi-joins
-        canon_map = stage_canon(resolved, resolved)
+        # at-scale fallback: distributed CC + occurrence-keyed equi-joins;
+        # reuse the already-materialized component mapping (recomputing CC
+        # here would double the most expensive stage-5 work)
+        canon_map = stage_canon(resolved, resolved, comp=comp)
         if workdir is None:
             canon_map = canon_map.persist()
             persisted.append(canon_map)
@@ -695,6 +701,12 @@ def run_pipeline(
         triples = triples.localCheckpoint(eager=True)
         for df in persisted:
             df.unpersist()
+    if not isinstance(comp, dict):
+        # the component mapping was a materialized localCheckpoint; triples
+        # are now materialized (parquet checkpoint or localCheckpoint above),
+        # so its blocks can be released
+        from .canon import _release_local_checkpoint
+        _release_local_checkpoint(comp)
     return triples
 
 

@@ -70,14 +70,14 @@ def stream_dedup_pages(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
     only shuffle is on ``bucket`` and per-group state holds ~|corpus|/B
     digests — B sizes state to executor memory at any corpus size; the
     state store checkpoints with the query, so dedup survives restarts
-    exactly like the source offsets."""
-    import pandas as pd  # noqa: F401  (worker-side)
+    exactly like the source offsets.
 
-    out_schema = StructType([
-        StructField("url", StringType()),
-        StructField("lang", StringType()),
-        StructField("text_md5", StringType()),
-    ])
+    Output: the FULL pages schema plus ``text_md5``, so the deduped stream
+    composes directly with the downstream stages (run_triples_stream's
+    pipeline, page_rates_windowed)."""
+    page_cols = [f.name for f in schemas.PAGES.fields]
+    out_schema = StructType(
+        list(schemas.PAGES.fields) + [StructField("text_md5", StringType())])
     state_schema = StructType([
         StructField("seen", ArrayType(StringType())),
     ])
@@ -91,7 +91,7 @@ def stream_dedup_pages(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
                     seen.add(h)
                     keep.append(i)
             if keep:
-                yield pdf.iloc[keep][["url", "lang", "text_md5"]]
+                yield pdf.iloc[keep][page_cols + ["text_md5"]]
         state.update((sorted(seen),))
 
     return (
@@ -99,7 +99,6 @@ def stream_dedup_pages(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
         .withColumn("text_md5", F.md5(F.col("text").cast("binary")))
         .withColumn("bucket",
                     F.pmod(F.xxhash64("text_md5"), F.lit(n_buckets)))
-        .select("bucket", "url", "lang", "text_md5")
         .groupBy("bucket")
         .applyInPandasWithState(
             dedup, out_schema, state_schema, "append",

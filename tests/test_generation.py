@@ -452,6 +452,19 @@ def test_text_generator_prefix_stripped_in_ragged_batch():
     assert not batch[1].startswith("alpha")
 
 
+def test_text_generator_multi_return_is_input_major_flat():
+    """Reference contract: one string per generated sequence —
+    batch * num_return_sequences outputs, each input's hypotheses
+    consecutive."""
+    cfg = GenerateConfig(do_sample=False, num_beams=3,
+                         num_return_sequences=2, max_length=10, min_length=2)
+    tg = TextGenerator(_head(), cfg)
+    out = tg.generate(["water vapour", "team data"])
+    assert len(out) == 4
+    solo_a = tg.generate(["water vapour"])
+    assert out[:2] == solo_a            # input-major grouping
+
+
 def test_text_generator_prefix_stripped():
     """text_generation.rs:602-668 — the prefix is excluded from output and
     extends the effective min/max lengths."""

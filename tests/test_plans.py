@@ -81,12 +81,18 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         (df.write.bucketBy(8, "k").sortBy("k")
          .option("path", str(tmp_path / name))
          .saveAsTable(name))
-    joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
-    plan = _plan(joined)
+    # force the sort-merge path: tiny test tables would otherwise broadcast
+    # and the zero-Exchange assertion would hold vacuously
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
         assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
         assert joined.count() == 1000
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 

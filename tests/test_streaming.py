@@ -130,14 +130,21 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
              .start())
         q.awaitTermination(120)
 
+    # composability: the deduped stream keeps the full pages schema
+    probe = stream_dedup_pages(read_page_stream(spark, str(tmp_path)))
+    assert set(probe.columns) >= {f.name for f in schemas.PAGES.fields}
+
     # batch 1: one in-batch duplicate
     write_batch([("u1", "alpha text"), ("u2", "beta text"),
                  ("u3", "alpha text")])
     run_once()
     got1 = spark.read.parquet(outdir).collect()
     assert len(got1) == 2
-    assert {r["text_md5"] for r in got1} == \
-        {r["text_md5"] for r in got1}  # distinct by construction
+    assert len({r["text_md5"] for r in got1}) == 2   # truly distinct digests
+    urls1 = {r["url"] for r in got1}
+    # exactly one of the two alpha copies survives (in-group order after the
+    # shuffle is an implementation detail), plus the unique beta
+    assert "u2" in urls1 and len(urls1 & {"u1", "u3"}) == 1
 
     # batch 2 (restarted query): repeats of batch 1 + one new text
     write_batch([("u4", "alpha text"), ("u5", "gamma text"),
