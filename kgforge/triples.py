@@ -96,7 +96,11 @@ def classify_zero_shot(
         raise ValueError("zero-shot classification requires non-empty inputs and labels")
     from .encoders import multilabel_entailment_scores, single_label_scores
 
-    hypotheses = [template.format(label) for label in labels]
+    # a callable template is the reference's ZeroShotTemplate closure
+    # (zero_shot_classification.rs:610); a string is the default
+    # "{}"-formatted hypothesis (:717-728)
+    hypotheses = [template(label) if callable(template)
+                  else template.format(label) for label in labels]
     premises = [t for t in texts for _ in labels]           # cross join
     hyps = hypotheses * len(texts)                           # (rs:730-738)
     logits = nli.forward_pairs(premises, hyps)

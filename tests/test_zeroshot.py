@@ -164,3 +164,20 @@ def test_golden_zero_shot_scores(nli):
     assert np.allclose(ml, [0.999956, 0.000357, 0.000357], atol=1e-4)
     sl = single_label_scores(logits[None, :, 2])[0]
     assert np.allclose(sl, [0.99991, 4.5e-05, 4.5e-05], atol=1e-4)
+
+
+def test_classify_zero_shot_custom_template_closure(nli):
+    """ZeroShotTemplate closure (zero_shot_classification.rs:610): a
+    callable template must produce the same scores as the equivalent
+    format string."""
+    from kgforge.triples import classify_zero_shot
+    texts = ["The company opened a new office in Paris."]
+    labels = ["geography", "finance"]
+    a = classify_zero_shot(texts, labels, nli,
+                           template="This text is about {}.")
+    b = classify_zero_shot(texts, labels, nli,
+                           template=lambda lbl: f"This text is about {lbl}.")
+    assert a == b
+    c = classify_zero_shot(texts, labels, nli,
+                           template=lambda lbl: f"Totally different {lbl}!")
+    assert c != a  # the closure really feeds the hypothesis text
