@@ -726,6 +726,46 @@ def q_media_video_frames(spark, sf_dir):
 # hash-head math is not SQL-expressible; exactness is pytest-gated)
 # --------------------------------------------------------------------------
 
+def q_converse(spark, sf_dir):
+    """#22 conversation: two-turn stateful dialogue per document
+    (conversation.rs semantics — eos-separated history, turn-boundary
+    truncation, batched respond step); state lives in data, one batched
+    decode per turn across the whole Arrow batch."""
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+    from .conversation import ConversationManager, ConversationModel
+    from .generation import StandInLMHead
+    vocab = build_gen_vocab(spark, sf_dir)
+
+    def gen(batches):
+        model = ConversationModel(StandInLMHead(vocab, seed=42))
+        for pdf in batches:
+            mgr = ConversationManager()
+            cids = []
+            for t in pdf["text"]:
+                words = str(t).split()
+                cids.append(mgr.create(" ".join(words[:6])))
+            first = model.generate_responses(mgr)
+            for cid, t in zip(cids, pdf["text"]):
+                words = str(t).split()
+                mgr.get(cid).add_user_input(" ".join(words[6:12]))
+            second = model.generate_responses(mgr)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "response1": [first[c] for c in cids],
+                "response2": [second[c] for c in cids],
+                "n_history_ids": [sum(len(h) for h in mgr.get(c).history)
+                                  for c in cids],
+            })
+
+    return _gen_docs(spark, sf_dir).mapInPandas(gen, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("response1", StringType()),
+        StructField("response2", StringType()),
+        StructField("n_history_ids", IntegerType()),
+    ]))
+
+
 def q_keywords_mmr(spark, sf_dir):
     """#18 keyword extraction, MMR scorer (scorer.rs:90-135 port): embed doc
     + candidates, rank by relevance-diversity tradeoff. Model-backed, so
@@ -1420,7 +1460,8 @@ QUERIES = {
     "media_image_features": q_media_image_features,
     "media_audio_stats": q_media_audio_stats,
     "media_video_frames": q_media_video_frames,
-    # model pipelines #10/#15/#16/#18-mmr (rows-only)
+    # model pipelines #10/#15/#16/#18-mmr/#22 (rows-only)
+    "converse": q_converse,
     "keywords_mmr": q_keywords_mmr,
     "seq_classify": q_seq_classify,
     "masked_fill": q_masked_fill,

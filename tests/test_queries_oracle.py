@@ -86,7 +86,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
         "gen_greedy", "summarize_beam", "translate_m2m",
         "seq_classify", "masked_fill", "qa_extractive",
         "media_image_features", "media_audio_stats", "media_video_frames",
-        "keywords_mmr",
+        "keywords_mmr", "converse",
     }
 
 
