@@ -158,7 +158,10 @@ class ConversationModel:
         prompt_ids = self.encode_prompts(texts)
         rows = self.concat_input_history(
             prompt_ids, [sum(c.history, []) for c in convs])
-        input_length = max(len(r) for r in rows)   # post-pad uniform length
+        # every row is LEFT-padded to the batch max inside the decode
+        # (generation._pad_prompts), so the generated suffix of each
+        # returned row starts at the same index
+        input_length = max(len(r) for r in rows)
         generated = generate_no_beam_search(self.head, rows, self.cfg)
         out: dict[str, str] = {}
         for cid, conv, row, p_ids in zip(ids, convs, generated, prompt_ids):

@@ -156,7 +156,11 @@ class StandInLMHead:
                     encoder_rows: list[list[int]] | None = None) -> np.ndarray:
         V = self.vocab_size
         out = np.empty((len(contexts), V), dtype=np.float64)
-        for r, ctx in enumerate(contexts):
+        for r, raw_ctx in enumerate(contexts):
+            # pads are batching artifacts, not context: a real model's
+            # attention mask makes left-pads invisible — without this, a
+            # row's logits would depend on its batchmates' lengths
+            ctx = [t for t in raw_ctx if t != PAD_ID]
             last2 = tuple(int(t) for t in ctx[-2:])
             row = np.array(
                 [_hash01(self.seed, last2, c) for c in range(V)])

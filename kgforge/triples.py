@@ -79,10 +79,14 @@ def classify_zero_shot(
     texts: list[str],
     labels: list[str],
     nli: StandInNLI,
-    template: str = "This example is about {}.",
+    template="This example is about {}.",
     multilabel: bool = False,
 ) -> list[list[dict]]:
     """Zero-shot classification entry point, both scoring modes.
+
+    ``template``: a "{}"-style format string (the reference default,
+    zero_shot_classification.rs:717-728) OR a ``label -> hypothesis``
+    callable (the ZeroShotTemplate closure, :610).
 
     - single-label: softmax of the ENTAILMENT logit across labels
       (zero_shot_classification.rs:841-888, scoring :868);

@@ -153,6 +153,24 @@ def test_batch_equals_solo():
     assert r_solo == r_batch
 
 
+def test_batch_invariance_with_degenerate_prompt():
+    """A conversation whose input encodes to [EOS] only (all words OOV)
+    must decode identically solo and co-batched with longer conversations:
+    left-padding is a batching artifact and must stay invisible to the
+    head (the attention-mask equivalence)."""
+    model = _model()
+    solo = ConversationManager()
+    s = solo.create("xyzzy qwerty")          # all OOV -> encodes to [EOS]
+    r_solo = model.generate_responses(solo)[s]
+
+    batch = ConversationManager()
+    x = batch.create("xyzzy qwerty")
+    batch.create("movies tonight action comedy great watch popcorn")
+    r_batch = model.generate_responses(batch)[x]
+    assert r_solo == r_batch
+    assert r_solo != ""                      # it really decodes something
+
+
 def test_deterministic():
     def run():
         model = _model()
