@@ -64,6 +64,14 @@ def test_link_stage_has_no_shuffle(spark, tiny_pages_df, alias_df):
     assert "Exchange" not in plan, plan
 
 
+def test_gen_query_filter_pushed_to_scan(spark):
+    """The generation queries' doc_id bound must reach the parquet scan —
+    decoding is expensive, scanning is not the place to pay for it."""
+    from kgforge.queries import q_gen_greedy
+    plan = _plan(q_gen_greedy(spark, SF))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Co-located joins via bucketing (SURVEY §4 'Shuffle/partitioning'):
     two tables bucketed+sorted on the join key must sort-merge join with
