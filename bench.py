@@ -266,7 +266,11 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
-        report = run_scaling(args.sf_dir, n_pages=args.pages or 300_000)
+        # 600k pages, not less: short runs are startup-dominated (JVM +
+        # ~2 CPU-s/worker Python imports), which deflates the wide config's
+        # throughput and understates scaling efficiency; real cluster jobs
+        # run minutes-hours, so measure where work dominates
+        report = run_scaling(args.sf_dir, n_pages=args.pages or 600_000)
     elif args.kg_only:
         report = run_kg_only(args.sf_dir, args.cpus, n_pages=args.pages)
     else:
