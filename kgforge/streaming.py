@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
-from pyspark.sql.types import (ArrayType, StringType, StructField,
+from pyspark.sql.types import (BooleanType, StringType, StructField,
                                StructType)
 
 from . import schemas
@@ -61,16 +61,26 @@ def page_rates_windowed(pages: DataFrame, window: str = "1 hour",
     )
 
 
-def stream_dedup_pages(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
+def stream_dedup_pages(pages: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): exact
     dedup ACROSS micro-batches — a page whose md5(text) was already seen in
     any earlier batch (or earlier in this one) is dropped.
 
-    Scale shape: state is keyed by a hash bucket of the text digest, so the
-    only shuffle is on ``bucket`` and per-group state holds ~|corpus|/B
-    digests — B sizes state to executor memory at any corpus size; the
-    state store checkpoints with the query, so dedup survives restarts
-    exactly like the source offsets.
+    Scale shape (the 100 TB contract): state is keyed by the text digest
+    ITSELF, so per-key state is one constant-size boolean and the state
+    store does point lookups/inserts. Each micro-batch writes
+    O(new distinct digests) state rows — NOT O(seen corpus): a key whose
+    digest already exists returns before ``state.update``, so zero state
+    bytes are rewritten for previously-seen pages. (An earlier design
+    bucketed digests into B groups holding the full digest list as group
+    state; that re-serialized ~|corpus|/B digests per touched bucket on
+    EVERY batch — per-batch cost growing with corpus age, a throughput
+    cliff.) Shuffle volume is unchanged (one row per page, keyed by
+    digest); high key cardinality is exactly what HDFS/RocksDB state-store
+    backends are built for, and the state checkpoints with the query so
+    dedup survives restarts like the source offsets. Where a bounded dedup
+    horizon suffices, ``dropDuplicatesWithinWatermark`` on ``text_md5`` is
+    the built-in alternative (state then expires with the watermark).
 
     Output: the FULL pages schema plus ``text_md5``, so the deduped stream
     composes directly with the downstream stages (run_triples_stream's
@@ -79,27 +89,25 @@ def stream_dedup_pages(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
     out_schema = StructType(
         list(schemas.PAGES.fields) + [StructField("text_md5", StringType())])
     state_schema = StructType([
-        StructField("seen", ArrayType(StringType())),
+        StructField("seen", BooleanType()),
     ])
 
     def dedup(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            return          # seen in an earlier batch: drop; NO state write
+        emitted = False
         for pdf in pdfs:
-            keep = []
-            for i, h in enumerate(pdf["text_md5"]):
-                if h not in seen:
-                    seen.add(h)
-                    keep.append(i)
-            if keep:
-                yield pdf.iloc[keep][page_cols + ["text_md5"]]
-        state.update((sorted(seen),))
+            if not emitted and len(pdf):
+                # first occurrence wins; later rows of this key (in-batch
+                # duplicates) are dropped without another state touch
+                yield pdf.iloc[[0]][page_cols + ["text_md5"]]
+                emitted = True
+        state.update((True,))
 
     return (
         pages
         .withColumn("text_md5", F.md5(F.col("text").cast("binary")))
-        .withColumn("bucket",
-                    F.pmod(F.xxhash64("text_md5"), F.lit(n_buckets)))
-        .groupBy("bucket")
+        .groupBy("text_md5")
         .applyInPandasWithState(
             dedup, out_schema, state_schema, "append",
             GroupStateTimeout.NoTimeout)

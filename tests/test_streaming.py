@@ -157,6 +157,62 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     assert "u5" in urls and "u4" not in urls and "u6" not in urls
 
 
+def test_stream_dedup_state_writes_are_o_new_pages(spark, tmp_path):
+    """The scale contract of stream_dedup_pages: per-batch state-store WRITE
+    volume is O(new distinct digests), not O(seen corpus). A batch made
+    entirely of already-seen pages must write ZERO state rows — the
+    keyed-by-digest design does point lookups and skips state.update for
+    existing keys (the old bucketed design rewrote the whole bucket list)."""
+    import datetime
+
+    from kgforge.streaming import read_page_stream, stream_dedup_pages
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime.datetime(2024, 1, 1)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(u, ts, b"x", t, "en") for u, t in rows],
+            schema=schemas.PAGES).coalesce(1).write.mode("append") \
+            .parquet(indir)
+
+    def run_once():
+        q = (stream_dedup_pages(read_page_stream(spark, indir))
+             .writeStream.format("parquet")
+             .option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        updated = total = 0
+        for p in q.recentProgress:
+            for op in (p["stateOperators"] or []):
+                updated += op["numRowsUpdated"]
+                total = max(total, op["numRowsTotal"])
+        return updated, total
+
+    # batch 1: 3 pages, 2 distinct digests -> exactly 2 state rows written
+    write_batch([("u1", "alpha text"), ("u2", "beta text"),
+                 ("u3", "alpha text")])
+    updated1, total1 = run_once()
+    assert updated1 == 2 and total1 == 2
+
+    # batch 2: ALL duplicates -> zero state writes, state size unchanged
+    write_batch([("u4", "alpha text"), ("u5", "beta text")])
+    updated2, total2 = run_once()
+    assert updated2 == 0 and total2 == 2
+    assert spark.read.parquet(outdir).count() == 2
+
+    # batch 3: one new + one dup -> exactly one state write
+    write_batch([("u6", "gamma text"), ("u7", "beta text")])
+    updated3, total3 = run_once()
+    assert updated3 == 1 and total3 == 3
+    assert spark.read.parquet(outdir).count() == 3
+
+
 def test_max_files_per_trigger_bounds_batches(spark, alias_df, tmp_path):
     """maxFilesPerTrigger caps micro-batch size (the memory bound at scale):
     3 input files with cap 1 -> 3 micro-batches."""
