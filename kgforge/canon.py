@@ -155,11 +155,23 @@ def connected_components(
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Free a RETIRED localCheckpoint's blocks. DataFrame.unpersist is a
     no-op for them (RDD-level persistence, invisible to the CacheManager),
-    so reach the checkpointed RDD through the analyzed LogicalRDD. The
-    frame must never be used again afterwards. Best-effort: the handle is
-    internal API, and failing to free is only a storage leak."""
+    so walk the analyzed plan for LogicalRDD leaves and unpersist their
+    RDDs — the frame may be a Project over the checkpoint (e.g. a
+    withColumnRenamed view), not the raw LogicalRDD, in which case calling
+    ``analyzed().rdd()`` directly would raise and silently leak. The frame
+    (and any view sharing its checkpoint) must never be used again
+    afterwards. Best-effort: the handle is internal API, and failing to
+    free is only a storage leak."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                node.rdd().unpersist(False)
+                continue
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
     except Exception:
         pass
 

@@ -788,7 +788,11 @@ def q_keywords_mmr(spark, sf_dir):
                     rows.append({"doc_id": int(did), "rank": rank,
                                  "keyword": kw.text,
                                  "score": round(float(kw.score), 6)})
-            yield pd.DataFrame(rows)
+            # explicit columns: an all-empty batch (every doc yielded no
+            # keywords) would otherwise build a 0-column frame and fail
+            # Arrow schema matching at serialization time
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "rank", "keyword", "score"])
 
     return (_docs(spark, sf_dir).where(F.col("doc_id") < 200)
             .select("doc_id", "text")

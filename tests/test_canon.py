@@ -55,3 +55,25 @@ def test_cc_long_path_log_rounds(spark):
            connected_components(df, max_iterations=10).collect()}
     assert set(got.values()) == {"p00"}
     assert len(got) == 64
+
+
+def test_release_local_checkpoint_frees_blocks_through_projections(spark):
+    """ADVICE r2: surface_components returns the checkpointed frame wrapped
+    in withColumnRenamed, so the release helper must find the LogicalRDD
+    through Project nodes — releasing via analyzed().rdd() directly was a
+    silent no-op and the CC mapping leaked storage every at-scale run."""
+    from kgforge.canon import _release_local_checkpoint
+
+    def persisted_rdd_ids():
+        jsc = spark.sparkContext._jsc.sc()
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    for wrap in (lambda df: df,                                  # raw leaf
+                 lambda df: df.withColumnRenamed("id", "x"),     # Project
+                 lambda df: df.withColumnRenamed("id", "x")
+                             .where("x >= 0").select("x")):      # deeper tree
+        raw = spark.range(1000).localCheckpoint(eager=True)
+        rid = raw._jdf.queryExecution().analyzed().rdd().id()
+        assert rid in persisted_rdd_ids()
+        _release_local_checkpoint(wrap(raw))
+        assert rid not in persisted_rdd_ids()
