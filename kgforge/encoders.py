@@ -14,8 +14,10 @@ and is ported from the reference:
   (src/pipelines/zero_shot_classification.rs:1009)
 - zero-shot single-label: softmax of the entailment logit ACROSS labels
   (src/pipelines/zero_shot_classification.rs:868)
-- sentence embeddings: masked mean pooling then L2-normalize with clamp 1e-12
-  (src/pipelines/sentence_embeddings/layers.rs:39-76, pipeline.rs:403-411)
+- sentence embeddings: CLS/Max/Mean/MeanSqrtLen pooling (concatenable),
+  optional Dense+activation projection, then L2-normalize with clamp 1e-12
+  (src/pipelines/sentence_embeddings/layers.rs:39-76 + 110-153,
+  pipeline.rs:150-152 + 395-411)
 
 Swapping in onnxruntime later = implement the same ``forward`` contract with
 an InferenceSession held as a per-worker singleton (mirrors the reference's
@@ -287,11 +289,118 @@ def single_label_scores(entail_logits: np.ndarray) -> np.ndarray:
     return softmax(entail_logits, axis=-1)
 
 
+class PoolingConfig:
+    """Port of PoolingConfig (sentence_embeddings/layers.rs:11-22): each
+    flag enables one pooling mode; enabled modes are CONCATENATED along the
+    feature dim (layers.rs:74 ``Tensor::cat(&output_vectors, 1)``), so the
+    pooled width is ``n_modes * word_embedding_dimension``."""
+
+    def __init__(self, cls_token: bool = False, max_tokens: bool = False,
+                 mean_tokens: bool = True, mean_sqrt_len_tokens: bool = False):
+        if not (cls_token or max_tokens or mean_tokens or mean_sqrt_len_tokens):
+            raise ValueError("at least one pooling mode must be enabled")
+        self.pooling_mode_cls_token = cls_token
+        self.pooling_mode_max_tokens = max_tokens
+        self.pooling_mode_mean_tokens = mean_tokens
+        self.pooling_mode_mean_sqrt_len_tokens = mean_sqrt_len_tokens
+
+    @property
+    def n_modes(self) -> int:
+        return sum((self.pooling_mode_cls_token, self.pooling_mode_max_tokens,
+                    self.pooling_mode_mean_tokens,
+                    self.pooling_mode_mean_sqrt_len_tokens))
+
+
+def pool_token_embeddings(token_embeddings: np.ndarray,
+                          attention_mask: np.ndarray,
+                          conf: PoolingConfig) -> np.ndarray:
+    """Port of Pooling::forward (layers.rs:39-76), value-for-value:
+
+    - CLS: take position 0 (layers.rs:43-45);
+    - Max: pads filled with -1e9 before the time-max (layers.rs:48-53);
+    - Mean / MeanSqrtLen: masked sum over time divided by the mask sum
+      clamped at 10e-9, the sqrt variant dividing by sqrt(sum_mask)
+      (layers.rs:56-72 — the reference's literal ``10e-9``, i.e. 1e-8);
+    - enabled modes concatenated along the feature dim (layers.rs:74).
+
+    token_embeddings [B, T, D] float64; attention_mask [B, T] (1 = real
+    token, 0 = pad) -> [B, n_modes * D].
+    """
+    emb = token_embeddings.astype(np.float64)
+    mask = attention_mask.astype(np.float64)[..., None]     # [B, T, 1]
+    outs: list[np.ndarray] = []
+    if conf.pooling_mode_cls_token:
+        outs.append(emb[:, 0, :])
+    if conf.pooling_mode_max_tokens:
+        outs.append(np.where(mask == 0, -1e9, emb).max(axis=1))
+    if conf.pooling_mode_mean_tokens or conf.pooling_mode_mean_sqrt_len_tokens:
+        sum_embeddings = (emb * mask).sum(axis=1)
+        sum_mask = np.clip(
+            np.broadcast_to(mask, emb.shape).sum(axis=1), 10e-9, None)
+        if conf.pooling_mode_mean_tokens:
+            outs.append(sum_embeddings / sum_mask)
+        if conf.pooling_mode_mean_sqrt_len_tokens:
+            outs.append(sum_embeddings / np.sqrt(sum_mask))
+    return np.concatenate(outs, axis=1)
+
+
+# activation registry — port of Activation::get_function
+# (common/activations.rs:5-30,69-84); same closed set of names
+ACTIVATIONS = {
+    "gelu": lambda x: x * 0.5 * (1.0 + _erf(x / np.sqrt(2.0))),
+    "relu": lambda x: np.maximum(x, 0.0),
+    "swish": lambda x: x / (1.0 + np.exp(-x)),
+    "mish": lambda x: x * np.tanh(np.log1p(np.exp(x))),
+    "gelu_new": lambda x: x * 0.5 * (np.tanh(
+        (x ** 3 * 0.044715 + x) * np.sqrt(2.0 / np.pi)) + 1.0),
+    "tanh": np.tanh,
+    "identity": lambda x: x,
+}
+
+
+def _erf(x: np.ndarray) -> np.ndarray:
+    # vectorized erf without scipy: numpy lacks erf; use the complementary
+    # identity via math.erf elementwise (D is small; called once per batch)
+    import math
+    return np.vectorize(math.erf)(x)
+
+
+class DenseLayer:
+    """Port of the optional Dense layer (layers.rs:110-153; applied after
+    pooling at pipeline.rs:397-401): ``activation(x @ W.T + b)``. A real
+    checkpoint loads W/b from the VarStore (layers.rs:141); the stand-in
+    derives them deterministically from the seed — same forward contract,
+    swappable weights."""
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True,
+                 activation: str = "tanh", seed: int = 42):
+        if activation not in ACTIVATIONS:
+            raise ValueError(f"Invalid Activation: {activation}")
+        self.in_features = in_features
+        self.out_features = out_features
+        self.activation = activation
+        idx = np.arange(in_features * out_features, dtype=np.uint64)
+        u = (_splitmix64(idx + _U64(seed * 0x51ED)) >> _U64(11)).astype(
+            np.float64) / float(1 << 53)
+        self.weight = (u * 0.5 - 0.25).reshape(out_features, in_features)
+        if bias:
+            bu = (_splitmix64(np.arange(out_features, dtype=np.uint64)
+                              + _U64(seed * 0xB1A5)) >> _U64(11)).astype(
+                np.float64) / float(1 << 53)
+            self.bias = bu * 0.1 - 0.05
+        else:
+            self.bias = np.zeros(out_features)
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        return ACTIVATIONS[self.activation](x @ self.weight.T + self.bias)
+
+
 class StandInEmbedder:
     """Deterministic sentence embedder: hashed char-trigram token vectors,
-    masked MEAN pooling, L2 normalize with clamp_min 1e-12 — the same pooling
-    + normalization pipeline as the reference sentence-embeddings model
-    (layers.rs:39-76 mean branch; pipeline.rs:403-411)."""
+    then the reference's pooling -> optional Dense -> optional L2-normalize
+    stack (sentence_embeddings/layers.rs:39-76, pipeline.rs:150-152 +
+    395-411). Default config (masked mean pooling, no dense, normalize with
+    clamp_min 1e-12) is bit-identical to the pre-pooling-port behavior."""
 
     def __init__(self, dim: int = 64, seed: int = 42):
         self.dim = dim
@@ -309,17 +418,35 @@ class StandInEmbedder:
                   np.where(sign_bits == 1, 1.0, -1.0))
         return vec
 
-    def encode(self, texts: list[str]) -> np.ndarray:
-        """-> [N, dim] float32, L2-normalized."""
-        out = np.zeros((len(texts), self.dim), dtype=np.float64)
-        for i, text in enumerate(texts):
+    def encode(self, texts: list[str],
+               pooling: PoolingConfig | None = None,
+               dense: DenseLayer | None = None,
+               normalize: bool = True) -> np.ndarray:
+        """-> [N, n_modes * dim] float32 (dense.out_features wide when a
+        Dense layer is configured), L2-normalized unless ``normalize=False``
+        (the reference's has_normalization() module switch,
+        pipeline.rs:284)."""
+        pooling = pooling if pooling is not None else PoolingConfig()
+        rows: list[np.ndarray] = []
+        for text in texts:
             tokens = re.findall(r"\w+", text, re.UNICODE)
-            if not tokens:
-                continue
-            mat = np.stack([self._token_vec(t) for t in tokens])
-            out[i] = mat.mean(axis=0)  # masked mean pooling (layers.rs:56-66)
-        norms = np.linalg.norm(out, axis=1, keepdims=True)
-        out = out / np.clip(norms, 1e-12, None)  # pipeline.rs:403-411
+            if tokens:
+                mat = np.stack([self._token_vec(t) for t in tokens])[None]
+                mask = np.ones((1, len(tokens)))
+            else:
+                # empty text: one all-pad position so T >= 1; mean pools to
+                # the zero vector (0 / clamped mask sum), matching the
+                # pre-port behavior
+                mat = np.zeros((1, 1, self.dim))
+                mask = np.zeros((1, 1))
+            rows.append(pool_token_embeddings(mat, mask, pooling)[0])
+        out = (np.stack(rows) if rows
+               else np.zeros((0, pooling.n_modes * self.dim)))
+        if dense is not None:                      # pipeline.rs:397-401
+            out = dense.forward(out)
+        if normalize:
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            out = out / np.clip(norms, 1e-12, None)  # pipeline.rs:403-411
         return out.astype(np.float32)
 
 
