@@ -91,10 +91,13 @@ def predict_tokens(
 ) -> list[list[Token]]:
     """Port of TokenClassificationModel::predict (token_classification.rs:957-1042)."""
     labels = labels or NER_LABELS
+    from .workers import get_tokenizer
+    tokenizer = get_tokenizer(getattr(cfg, "tokenizer", "chunk"))
     features: list[InputFeature] = []
     for example_index, text in enumerate(texts):
         features.extend(
-            generate_features(text, example_index, cfg.max_length, cfg.n_special_tokens)
+            generate_features(text, example_index, cfg.max_length,
+                              cfg.n_special_tokens, tokenizer)
         )
 
     example_tokens: list[list[Token]] = [[] for _ in texts]

@@ -162,7 +162,7 @@ def stage_ner(sentences: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     def gen(batches):
         local_cfg = PipelineConfig(**cfg_kwargs)
-        enc = get_token_classifier(seed)
+        enc = get_token_classifier(seed, local_cfg.tokenizer)
         for pdf in batches:
             texts = pdf["sentence"].tolist()
             token_lists = predict_tokens(texts, enc, local_cfg)
@@ -224,7 +224,7 @@ def stage_ner_score(sentences: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     def gen(batches):
         local_cfg = PipelineConfig(**cfg_kwargs)
-        enc = get_token_classifier(seed)
+        enc = get_token_classifier(seed, local_cfg.tokenizer)
         nli = get_nli(seed)
         for pdf in batches:
             texts = pdf["sentence"].tolist()

@@ -124,7 +124,8 @@ def entity_catalog() -> list[EntityDef]:
     return ents
 
 
-def build_gazetteer(catalog: list[EntityDef] | None = None) -> dict[int, int]:
+def build_gazetteer(catalog: list[EntityDef] | None = None,
+                    tokenizer=None) -> dict[int, int]:
     """Sub-word-piece-id -> NER label id, over every surface form.
 
     Tags are assigned PER WORD (first word -> B-<type>, later words ->
@@ -135,7 +136,13 @@ def build_gazetteer(catalog: list[EntityDef] | None = None) -> dict[int, int]:
     sub-tokens multiply their scores; disagreeing ones multiply 1-score,
     token_classification.rs:1174-1182) and avoids cross-entity continuation-
     piece collisions ("##a" is shared by PER/ORG/LOC words). Deterministic
-    first-wins on the (rare) initial-piece collision."""
+    first-wins on the (rare) initial-piece collision.
+
+    ``tokenizer``: None keys on the chunk tokenizer's initial piece
+    (word[:4]); a WordPieceTokenizer keys on ITS initial piece for the same
+    word — the gazetteer must agree with whatever tokenizer featurizes the
+    sentences (a real checkpoint's label head is trained against its own
+    vocab in exactly this sense)."""
     catalog = catalog or entity_catalog()
     gaz: dict[int, int] = {}
     for ent in catalog:
@@ -143,9 +150,32 @@ def build_gazetteer(catalog: list[EntityDef] | None = None) -> dict[int, int]:
             for wi, word in enumerate(surface.split()):
                 tag = "B" if wi == 0 else "I"
                 label = NER_LABEL2ID[f"{tag}-{ent.etype}"]
-                marked = word[:_SUBWORD_CHUNK]
+                if tokenizer is None:
+                    marked = word[:_SUBWORD_CHUNK]
+                else:
+                    t = tokenizer.tokenize_with_offsets(word)
+                    if not t.pieces:
+                        continue
+                    marked = t.pieces[0]
                 gaz.setdefault(token_id(marked), label)
     return gaz
+
+
+def wordpiece_vocab_words() -> list[str]:
+    """Deterministic vocab seed for the pipeline's WordPiece tokenizer:
+    every word of every catalog surface form (entity words tokenize as one
+    piece, so the gazetteer keys on the full word) plus the relation trigger
+    words; all other corpus words degrade to ##-char pieces via the
+    from_words char fallback — never [UNK], and multi-piece words keep the
+    consolidation path exercised."""
+    from .config import RELATIONS
+    words: set[str] = set()
+    for ent in entity_catalog():
+        for surface in {ent.canonical, *ent.aliases}:
+            words.update(surface.split())
+    for rel in RELATIONS.values():
+        words.update(rel["trigger"].split())
+    return sorted(words)
 
 
 def alias_rows(catalog: list[EntityDef] | None = None) -> list[dict]:

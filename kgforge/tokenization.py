@@ -107,6 +107,127 @@ def tokenize_with_offsets(text: str) -> TokenizedInput:
     return TokenizedInput(pieces, ids, begins, ends, masks)
 
 
+class WordPieceTokenizer:
+    """WordPiece: longest-match-first sub-word split with ``##``
+    continuations and the BERT ``lower_case`` / ``strip_accents``
+    normalization flags the reference exposes
+    (src/pipelines/token_classification.rs:237-242 — forwarded to
+    rust_tokenizers' BertTokenizer; that crate is external, so this is a
+    pure-Python implementation of the same public algorithm).
+
+    Offsets remain CHARACTER offsets into the ORIGINAL text: normalization
+    (lowercasing, NFD accent stripping) tracks a per-normalized-char map
+    back to source char indices, so accent-expanding or case-expanding
+    inputs keep char-exact spans. A word with any unmatchable position (or
+    longer than ``max_input_chars_per_word``) becomes one ``[UNK]`` piece
+    spanning the whole word — BERT's whole-word-UNK rule.
+
+    Same ``tokenize_with_offsets`` contract as the default chunk tokenizer;
+    plug into the pipeline with ``PipelineConfig(tokenizer="wordpiece")``.
+    """
+
+    UNK = "[UNK]"
+
+    def __init__(self, vocab, lower_case: bool = False,
+                 strip_accents: bool | None = None,
+                 max_input_chars_per_word: int = 100):
+        self.vocab = frozenset(vocab)
+        self.lower_case = lower_case
+        # unset strip_accents follows lower_case — BERT BasicTokenizer's
+        # default, which the reference's Option<bool> None selects
+        self.strip_accents = (lower_case if strip_accents is None
+                              else strip_accents)
+        self.max_input_chars_per_word = max_input_chars_per_word
+
+    @classmethod
+    def from_words(cls, words, lower_case: bool = False,
+                   strip_accents: bool | None = None) -> "WordPieceTokenizer":
+        """Vocab = each word's normalized full form + per-char fallback
+        pieces (every char c and '##' + c), so in-vocab words are one piece
+        and everything else degrades to char pieces instead of [UNK]."""
+        tok = cls((), lower_case=lower_case, strip_accents=strip_accents)
+        vocab: set[str] = set()
+        for w in words:
+            norm, _ = tok._normalize(w)
+            if not norm:
+                continue
+            vocab.add(norm)
+            for ch in norm:
+                vocab.add(ch)
+                vocab.add("##" + ch)
+        tok.vocab = frozenset(vocab)
+        return tok
+
+    def _normalize(self, word: str) -> tuple[str, list[int]]:
+        """-> (normalized word, source char index per normalized char)."""
+        import unicodedata
+        chars: list[str] = []
+        idx_map: list[int] = []
+        for i, ch in enumerate(word):
+            ch = ch.lower() if self.lower_case else ch
+            if self.strip_accents:
+                for d in unicodedata.normalize("NFD", ch):
+                    if unicodedata.category(d) != "Mn":
+                        chars.append(d)
+                        idx_map.append(i)
+            else:
+                for d in ch:        # lower() may expand (e.g. 'İ' -> 'i̇')
+                    chars.append(d)
+                    idx_map.append(i)
+        return "".join(chars), idx_map
+
+    def _wordpiece(self, norm: str) -> list[tuple[str, int, int]] | None:
+        """Greedy longest-match-first over the normalized word; None when
+        some position cannot be matched (whole word -> [UNK])."""
+        out: list[tuple[str, int, int]] = []
+        start = 0
+        while start < len(norm):
+            end = len(norm)
+            found = None
+            while start < end:
+                sub = norm[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    found = sub
+                    break
+                end -= 1
+            if found is None:
+                return None
+            out.append((found, start, end))
+            start = end
+        return out
+
+    def tokenize_with_offsets(self, text: str) -> TokenizedInput:
+        pieces: list[str] = []
+        ids: list[int] = []
+        begins: list[int] = []
+        ends: list[int] = []
+        masks: list[int] = []
+        for m in _WORD_RE.finditer(text):
+            word = m.group(0)
+            start = m.start()
+            sub = None
+            if len(word) <= self.max_input_chars_per_word:
+                norm, idx_map = self._normalize(word)
+                if norm:
+                    sub = self._wordpiece(norm)
+            if sub is None:
+                pieces.append(self.UNK)
+                ids.append(token_id(self.UNK))
+                begins.append(start)
+                ends.append(start + len(word))
+                masks.append(MASK_NONE)
+                continue
+            for piece, s, e in sub:
+                pieces.append(piece)
+                ids.append(token_id(piece))
+                begins.append(start + idx_map[s])
+                ends.append(start + idx_map[e - 1] + 1)
+                masks.append(MASK_NONE if s == 0 else MASK_CONTINUATION)
+        return TokenizedInput(pieces, ids, begins, ends, masks)
+
+
 @dataclass
 class InputFeature:
     """One sliding-window span, with special tokens added.
@@ -175,7 +296,8 @@ def _reference_feature_flag(
 
 
 def generate_features(
-    text: str, example_index: int, max_length: int = 64, n_special: int = 2
+    text: str, example_index: int, max_length: int = 64, n_special: int = 2,
+    tokenizer: WordPieceTokenizer | None = None,
 ) -> list[InputFeature]:
     """Split one text into overlapping spans.
 
@@ -188,7 +310,8 @@ def generate_features(
           if end == n_tokens: break
           start = end - doc_stride
     """
-    tok = tokenize_with_offsets(text)
+    tok = (tokenizer.tokenize_with_offsets(text) if tokenizer is not None
+           else tokenize_with_offsets(text))
     total = len(tok.ids)
     max_content_length = max_length - n_special
     doc_stride = max_length // 4

@@ -15,12 +15,32 @@ from .encoders import StandInEmbedder, StandInNLI, StandInTokenClassifier
 _CACHE: dict[tuple, object] = {}
 
 
-def get_token_classifier(seed: int = 42) -> StandInTokenClassifier:
-    key = ("tokcls", seed)
+def get_token_classifier(seed: int = 42,
+                         tokenizer: str = "chunk") -> StandInTokenClassifier:
+    key = ("tokcls", seed, tokenizer)
     if key not in _CACHE:
         from .synth import build_gazetteer
-        _CACHE[key] = StandInTokenClassifier(build_gazetteer(), seed=seed)
+        _CACHE[key] = StandInTokenClassifier(
+            build_gazetteer(tokenizer=get_tokenizer(tokenizer)), seed=seed)
     return _CACHE[key]  # type: ignore[return-value]
+
+
+def get_tokenizer(kind: str = "chunk"):
+    """None for the default chunk tokenizer; a per-worker WordPiece singleton
+    (vocab built once from the synthetic catalog + trigger words) for
+    ``wordpiece``. A real deployment would construct WordPieceTokenizer from
+    the checkpoint's vocab file here — same contract."""
+    if kind == "chunk":
+        return None
+    if kind != "wordpiece":
+        raise ValueError(f"unknown tokenizer kind: {kind!r}")
+    key = ("tokenizer", kind)
+    if key not in _CACHE:
+        from .synth import wordpiece_vocab_words
+        from .tokenization import WordPieceTokenizer
+        _CACHE[key] = WordPieceTokenizer.from_words(
+            wordpiece_vocab_words(), lower_case=False)
+    return _CACHE[key]
 
 
 def get_nli(seed: int = 42) -> StandInNLI:

@@ -107,6 +107,18 @@ def test_pr_gate(triples, gold_triples_df):
     assert pr.recall >= 0.95, pr
 
 
+def test_pr_gate_wordpiece_tokenizer(spark, tiny_pages_df, alias_df,
+                                     gold_triples_df):
+    """Same e2e gate with the WordPiece tokenizer swapped in via config:
+    featurization runs longest-match-first WordPiece (entity words one
+    piece via the catalog vocab, other words ##-char pieces) and the
+    gazetteer keys on the SAME pieces — P/R must stay exact."""
+    t = run_pipeline(spark, tiny_pages_df, alias_df,
+                     PipelineConfig(tokenizer="wordpiece"))
+    pr = triple_pr(t, gold_triples_df)
+    assert pr.precision == 1.0 and pr.recall == 1.0, pr
+
+
 def test_triples_schema_and_values(triples):
     assert set(triples.columns) == {
         "url", "sent_idx", "subj_id", "pred", "obj_id",

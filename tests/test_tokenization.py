@@ -90,3 +90,138 @@ def test_sentence_split_offsets_compose():
     sents = split_sentences(text)
     for begin, sent in sents:
         assert text[begin:begin + len(sent)] == sent
+
+
+# --------------------------------------------------------------------------
+# WordPiece tokenizer (longest-match-first, ##, lower_case/strip_accents —
+# the flags of token_classification.rs:237-242)
+# --------------------------------------------------------------------------
+
+from kgforge.tokenization import (MASK_CONTINUATION, MASK_NONE,
+                                  WordPieceTokenizer)
+
+
+def test_wordpiece_longest_match_first():
+    tok = WordPieceTokenizer(
+        {"un", "##aff", "##able", "##a", "##ff", "##ble", "unaff"})
+    t = tok.tokenize_with_offsets("unaffable")
+    # greedy: "unaffable" not in vocab -> "unaff" (longest prefix), then
+    # longest continuation matches
+    assert t.pieces == ["unaff", "##able"]
+    assert t.masks == [MASK_NONE, MASK_CONTINUATION]
+    assert t.begins == [0, 5] and t.ends == [5, 9]
+
+
+def test_wordpiece_unknown_word_is_single_unk_spanning_word():
+    tok = WordPieceTokenizer({"known"})
+    t = tok.tokenize_with_offsets("known mystery known")
+    assert t.pieces == ["known", "[UNK]", "known"]
+    assert t.begins[1] == 6 and t.ends[1] == 13     # the whole word's span
+    assert t.masks[1] == MASK_NONE
+    # partial match then dead end -> STILL whole-word UNK (BERT rule)
+    tok2 = WordPieceTokenizer({"myst"})
+    assert tok2.tokenize_with_offsets("mystery").pieces == ["[UNK]"]
+
+
+def test_wordpiece_max_input_chars_per_word():
+    tok = WordPieceTokenizer({"a", "##a"}, max_input_chars_per_word=5)
+    assert tok.tokenize_with_offsets("aaaaa").pieces == ["a"] + ["##a"] * 4
+    assert tok.tokenize_with_offsets("aaaaaa").pieces == ["[UNK]"]
+
+
+def test_wordpiece_lower_case_offsets_point_at_original():
+    tok = WordPieceTokenizer({"hello", "world"}, lower_case=True)
+    t = tok.tokenize_with_offsets("HeLLo WORLD")
+    assert t.pieces == ["hello", "world"]
+    assert [(b, e) for b, e in zip(t.begins, t.ends)] == [(0, 5), (6, 11)]
+    assert "HeLLo WORLD"[t.begins[1]:t.ends[1]] == "WORLD"
+
+
+def test_wordpiece_strip_accents_char_exact():
+    # strip_accents defaults to lower_case (BERT BasicTokenizer; the
+    # reference's Option<bool> None)
+    tok = WordPieceTokenizer({"amelie", "sao", "paulo"}, lower_case=True)
+    text = "Amélie São"
+    t = tok.tokenize_with_offsets(text)
+    assert t.pieces == ["amelie", "sao"]
+    assert text[t.begins[0]:t.ends[0]] == "Amélie"
+    assert text[t.begins[1]:t.ends[1]] == "São"
+    # explicit strip_accents=False keeps accents (no match here)
+    tok2 = WordPieceTokenizer({"amelie"}, lower_case=True,
+                              strip_accents=False)
+    assert tok2.tokenize_with_offsets("Amélie").pieces == ["[UNK]"]
+    # strip_accents=True without lowercasing
+    tok3 = WordPieceTokenizer({"Amelie"}, lower_case=False,
+                              strip_accents=True)
+    assert tok3.tokenize_with_offsets("Amélie").pieces == ["Amelie"]
+
+
+def test_wordpiece_from_words_char_fallback():
+    tok = WordPieceTokenizer.from_words(["Vandelay", "Holdings"])
+    # OOV word over in-vocab chars degrades to per-char pieces, not [UNK]
+    t = tok.tokenize_with_offsets("Vandelay dealing")
+    assert t.pieces == ["Vandelay", "d", "##e", "##a", "##l", "##i",
+                        "##n", "##g"]
+    assert t.masks == [MASK_NONE, MASK_NONE] + [MASK_CONTINUATION] * 6
+    # a word containing a char outside the vocab char set is still [UNK]
+    assert tok.tokenize_with_offsets("quartz").pieces == ["[UNK]"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.text(alphabet="aAbé日🙂 ", min_size=1, max_size=8), min_size=1,
+    max_size=6))
+def test_wordpiece_offset_exactness_property(words):
+    """For any multibyte text tokenized with a vocab built from its own
+    words: every piece's [begin, end) slice of the ORIGINAL text normalizes
+    to the piece text (sans ##); pieces tile each word contiguously."""
+    import re
+    import unicodedata
+    text = " ".join(words)
+    word_spans = [(m.start(), m.end()) for m in
+                  re.finditer(r"\w+|[^\w\s]", text, re.UNICODE)]
+    toks = [text[b:e] for b, e in word_spans]
+    tok = WordPieceTokenizer.from_words(toks, lower_case=True)
+
+    def norm(s):
+        return "".join(d for ch in s.lower()
+                       for d in unicodedata.normalize("NFD", ch)
+                       if unicodedata.category(d) != "Mn")
+
+    t = tok.tokenize_with_offsets(text)
+    if not word_spans:          # all-whitespace text: nothing to tokenize
+        assert t.pieces == []
+        return
+    assert t.pieces and "[UNK]" not in t.pieces
+    for piece, b, e in zip(t.pieces, t.begins, t.ends):
+        assert norm(text[b:e]) == piece.removeprefix("##")
+    # contiguous tiling: word-initial pieces start at word starts; each
+    # continuation starts where the previous piece ended
+    k = 0
+    for (wb, we) in word_spans:
+        assert t.begins[k] == wb and t.masks[k] == MASK_NONE
+        prev_end = t.ends[k]
+        k += 1
+        while k < len(t.pieces) and t.masks[k] == MASK_CONTINUATION:
+            assert t.begins[k] == prev_end
+            prev_end = t.ends[k]
+            k += 1
+        assert prev_end == we
+    assert k == len(t.pieces)
+
+
+def test_wordpiece_generate_features_and_gazetteer_agree():
+    """The pluggable path: generate_features(tokenizer=...) featurizes with
+    WordPiece, and build_gazetteer(tokenizer=...) keys entity words on the
+    SAME initial pieces, so the stand-in encoder's lookup still hits."""
+    from kgforge.synth import build_gazetteer, wordpiece_vocab_words
+    from kgforge.tokenization import token_id
+    tok = WordPieceTokenizer.from_words(wordpiece_vocab_words())
+    feats = generate_features("Vandelay Holdings is located in Tromsø.",
+                              0, 64, 2, tokenizer=tok)
+    assert len(feats) == 1
+    gaz = build_gazetteer(tokenizer=tok)
+    assert token_id("Vandelay") in gaz and token_id("Holdings") in gaz
+    assert token_id("Tromsø") in gaz
+    ids = feats[0].input_ids
+    assert token_id("Vandelay") in ids and token_id("Tromsø") in ids
