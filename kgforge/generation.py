@@ -363,22 +363,28 @@ class BeamHypotheses:
         self.length_penalty = length_penalty
         self.early_stopping = early_stopping
         self.num_beams = num_beams
-        self.beams: list[tuple[float, list[int]]] = []
+        self.beams: list[tuple[float, list[int], list[float] | None]] = []
         self.worst_score = 1e9
 
     def __len__(self) -> int:
         return len(self.beams)
 
-    def add(self, hypothesis: list[int], sum_log_probabilities: float) -> None:
+    def add(self, hypothesis: list[int], sum_log_probabilities: float,
+            token_scores: list[float] | None = None) -> None:
         score = sum_log_probabilities / (
             len(hypothesis) ** self.length_penalty)
         if len(self.beams) < self.num_beams or score > self.worst_score:
-            self.beams.append((score, list(hypothesis)))
+            if token_scores is not None:
+                # per-token increments from the saved CUMULATIVE step scores:
+                # diff with a prepended 0 (generation_utils.rs:2324-2334)
+                token_scores = list(np.diff(np.asarray(token_scores),
+                                            prepend=0.0))
+            self.beams.append((score, list(hypothesis), token_scores))
             if len(self.beams) > self.num_beams:
                 worst_pos = min(range(len(self.beams)),
                                 key=lambda i: self.beams[i][0])
                 self.beams.pop(worst_pos)
-            self.worst_score = min(s for s, _ in self.beams)
+            self.worst_score = min(s for s, _, _ in self.beams)
 
     def is_done(self, best_sum_log_probabilities: float,
                 current_length: int) -> bool:
@@ -419,12 +425,22 @@ def generate_no_beam_search(
     encoder_rows: list[list[int]] | None = None,
     forced_eos_token_id: int | None = None,
     prefix_allowed_tokens_fn=None,
-) -> list[list[int]]:
+    output_scores: bool = False,
+) -> list[list[int]] | tuple[list[list[int]], list[list[float]], list[float]]:
     """Returns the full id sequences (prompt included, pad-filled tails for
-    early-finished rows) exactly like the reference's returned input_ids."""
+    early-finished rows) exactly like the reference's returned input_ids.
+
+    With ``output_scores`` (the reference's token_scores path,
+    generation_utils.rs:845,965-974,1029-1055) also returns per-row
+    per-step chosen-token log-probs (0.0 on steps after a row finished) and
+    the sequence score sum(token_scores) / sentence_length^length_penalty,
+    where sentence_length counts prompt + generated tokens up to and
+    including EOS."""
     batch_size = len(input_rows)
     input_ids, cur = _pad_prompts(input_rows, head.is_encoder_decoder)
     unfinished = np.ones(batch_size, dtype=np.int64)
+    sentence_lengths = np.ones(batch_size, dtype=np.int64)
+    token_scores_steps: list[np.ndarray] = []
     rng = np.random.default_rng(cfg.seed)
     static_bad, dynamic_bad = split_bad_word_ids(cfg.bad_word_ids)
     current_length = cur
@@ -456,21 +472,35 @@ def generate_no_beam_search(
                                   dtype=np.int64)
         else:
             next_token = logits.argmax(axis=-1)
+        if output_scores:
+            # gather log_softmax of the (filtered) logits at the chosen
+            # token; rows already finished contribute 0 (:965-974)
+            logp = _log_softmax(logits, axis=-1)
+            step = logp[np.arange(batch_size), next_token]
+            token_scores_steps.append(np.where(unfinished == 0, 0.0, step))
         # finished rows append pad: next*u - pad*(u-1)  (:976-982)
-        # (the reference's sentence_lengths bookkeeping only feeds its
-        # optional output_scores path, which is not ported — decode skips
-        # the pad tails instead)
         tokens_to_add = next_token * unfinished + PAD_ID * (1 - unfinished)
         for i, t in enumerate(tokens_to_add):
             input_ids[i].append(int(t))
         sentence_with_eos = (tokens_to_add == EOS_ID).astype(np.int64) * unfinished
+        sentence_lengths = np.where(sentence_with_eos.astype(bool),
+                                    current_length + 1, sentence_lengths)
         unfinished = -unfinished * (sentence_with_eos - 1)  # :995
         if unfinished.max() == 0:
             break
         current_length += 1
         if cfg.max_length is not None and current_length >= cfg.max_length:
+            sentence_lengths = np.where(unfinished.astype(bool),
+                                        current_length, sentence_lengths)
             break
-    return input_ids
+    if not output_scores:
+        return input_ids
+    stacked = (np.stack(token_scores_steps, axis=1) if token_scores_steps
+               else np.zeros((batch_size, 0)))
+    seq_scores = list(stacked.sum(axis=1)
+                      / sentence_lengths.astype(np.float64)
+                      ** cfg.length_penalty)                   # :1029-1037
+    return input_ids, [list(r) for r in stacked], [float(s) for s in seq_scores]
 
 
 # --------------------------------------------------------------------------
@@ -484,9 +514,16 @@ def generate_beam_search(
     encoder_rows: list[list[int]] | None = None,
     forced_eos_token_id: int | None = None,
     prefix_allowed_tokens_fn=None,
-) -> list[tuple[list[int], float]]:
+    output_scores: bool = False,
+) -> list[tuple]:
     """Returns num_return_sequences (hypothesis_ids, score) per input, best
-    first — the reference's decoded output + sentence scores."""
+    first — the reference's decoded output + sentence scores. With
+    ``output_scores``, tuples gain a third element: per-token score
+    increments, derived the reference's way (generation_utils.rs:1106,
+    1341-1350,1405-1407,1457-1465): the CUMULATIVE beam_scores vector is
+    saved per step WITHOUT reordering, a hypothesis takes its parent ROW's
+    step history (EOS adds exclude the in-flight step), and add() diffs the
+    cumulative history into increments."""
     batch_size = len(input_rows)
     nb = cfg.num_beams
     n_groups = cfg.num_beam_groups or 1
@@ -514,6 +551,7 @@ def generate_beam_search(
     done = [False] * batch_size
     current_length = max(len(r) for r in input_ids)
     current_tokens = np.zeros(batch_size * nb, dtype=np.int64)
+    score_hist: list[np.ndarray] = []      # per-step cumulative beam_scores
 
     while True:
         logits_all = head.next_logits(input_ids, enc)   # [B*nb, V]
@@ -602,9 +640,12 @@ def generate_beam_search(
                     continue
                 # group-local beam row (the hypothesis content); full-space
                 # index is recovered below for surviving beams
-                row = input_ids[bgi[b * gs + beam_id[b, pos]]]
-                hypotheses[b].add(list(row),
-                                  float(next_scores_top[b, pos]))
+                parent = bgi[b * gs + beam_id[b, pos]]
+                hypotheses[b].add(
+                    list(input_ids[parent]),
+                    float(next_scores_top[b, pos]),
+                    ([h[parent] for h in score_hist]
+                     if output_scores else None))
             # next beams: first gs non-eos candidates per row (:1316-1325)
             sel_scores = np.zeros((batch_size, gs))
             sel_tokens = np.full((batch_size, gs), PAD_ID, dtype=np.int64)
@@ -626,6 +667,8 @@ def generate_beam_search(
             beam_indices[bgi] = full_idx.reshape(-1)
             if n_groups > 1:
                 current_tokens[bgi] = sel_tokens.reshape(-1)
+        if output_scores:                          # :1405-1407
+            score_hist.append(beam_scores.copy())
         if all(done):
             break
         input_ids = [input_ids[beam_indices[k]] + [int(beam_tokens[k])]
@@ -640,16 +683,18 @@ def generate_beam_search(
             continue
         for j in range(nb):
             k = b * nb + j
-            hypotheses[b].add(list(input_ids[k]), float(beam_scores[k]))
+            hypotheses[b].add(list(input_ids[k]), float(beam_scores[k]),
+                              ([h[k] for h in score_hist]
+                               if output_scores else None))
 
     n_ret = 1 if cfg.do_sample else cfg.num_return_sequences
-    out: list[tuple[list[int], float]] = []
+    out: list[tuple] = []
     for hyp in hypotheses:
         # stable sort by score; pop best from the end (:1496-1516)
         ordered = sorted(hyp.beams, key=lambda sb: sb[0])
         for _ in range(n_ret):
-            score, ids = ordered.pop()
-            out.append((ids, score))
+            score, ids, tok = ordered.pop()
+            out.append((ids, score, tok) if output_scores else (ids, score))
     return out
 
 
@@ -660,8 +705,13 @@ def generate_beam_search(
 def generate_ids(head: StandInLMHead, texts: list[str], cfg: GenerateConfig,
                  forced_eos_token_id: int | None = None,
                  prefix_allowed_tokens_fn=None,
-                 ) -> list[tuple[list[int], float | None]]:
+                 output_scores: bool = False,
+                 ) -> list[tuple]:
     """texts -> generated id sequences (+ beam score when beam-searched).
+    With ``output_scores`` (GeneratedIndicesOutput.token_scores,
+    generation_utils.rs:1616-1620) each tuple is (ids, score, token_scores):
+    both decode paths return per-token log-prob increments, and the no-beam
+    path's score becomes the real length-penalized sum instead of None.
 
     encoder-decoder mode: the decoder starts from [BOS] conditioned on the
     encoded source (BART/T5 shape); causal mode: the prompt ids prefix the
@@ -673,14 +723,31 @@ def generate_ids(head: StandInLMHead, texts: list[str], cfg: GenerateConfig,
     else:
         encoder_rows = None
         input_rows = [[BOS_ID] + head.encode(t) for t in texts]
+    # effective_batch_mult (generation_utils.rs:2023-2059): under sampling,
+    # each input is replicated num_return_sequences times (input-major: the
+    # reference expands dim 1 then flattens, so an input's replicas are
+    # consecutive) and every replica decodes independently with its own rng
+    # draws; sampled beam search then returns its single best per replica
+    # (n_ret = 1 when do_sample). Greedy/beam without sampling never
+    # replicates — identical replicas would be wasted compute.
+    if cfg.do_sample and cfg.num_return_sequences > 1:
+        k = cfg.num_return_sequences
+        input_rows = [list(r) for r in input_rows for _ in range(k)]
+        if encoder_rows is not None:
+            encoder_rows = [list(r) for r in encoder_rows for _ in range(k)]
     if cfg.num_beams > 1:
         return generate_beam_search(head, input_rows, cfg, encoder_rows,
                                     forced_eos_token_id,
-                                    prefix_allowed_tokens_fn)
-    seqs = generate_no_beam_search(head, input_rows, cfg, encoder_rows,
-                                   forced_eos_token_id,
-                                   prefix_allowed_tokens_fn)
-    return [(s, None) for s in seqs]
+                                    prefix_allowed_tokens_fn,
+                                    output_scores=output_scores)
+    res = generate_no_beam_search(head, input_rows, cfg, encoder_rows,
+                                  forced_eos_token_id,
+                                  prefix_allowed_tokens_fn,
+                                  output_scores=output_scores)
+    if output_scores:
+        seqs, token_scores, seq_scores = res
+        return list(zip(seqs, seq_scores, token_scores))
+    return [(s, None) for s in res]
 
 
 # --------------------------------------------------------------------------

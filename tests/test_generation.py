@@ -516,3 +516,118 @@ def test_spark_generation_queries_match_local(spark):
         t.explain("formatted")
     assert len(re.findall(r"^\(\d+\) MapInPandas", buf.getvalue(),
                           re.M)) == 1, buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# effective_batch_mult sampling (:2023-2059) + output_scores (:845-1055,
+# :1106-1520, :1616-1620)
+# --------------------------------------------------------------------------
+
+def _head(**kw):
+    return StandInLMHead(VOCAB, seed=42, **kw)
+
+
+def test_sampled_num_return_sequences_replicates_inputs():
+    """do_sample + num_return_sequences=k -> k sequences per input,
+    input-major (each input's replicas consecutive), seeded-distinct."""
+    cfg = GenerateConfig(do_sample=True, num_beams=1, num_return_sequences=3,
+                         max_length=16, top_k=0, top_p=1.0, seed=9,
+                         no_repeat_ngram_size=0)
+    texts = ["water vapour", "telescope data"]
+    out = generate_ids(_head(), texts, cfg)
+    assert len(out) == 6
+    head = _head()
+    for i, t in enumerate(texts):
+        prompt = [BOS_ID] + head.encode(t)
+        group = [ids for ids, _ in out[3 * i: 3 * i + 3]]
+        for ids in group:
+            assert ids[:len(prompt)] == prompt      # replica of input i
+        # seeded-distinct continuations (deterministic given seed=9)
+        assert len({tuple(g) for g in group}) >= 2
+
+
+def test_sampled_beam_num_return_sequences():
+    """Sampled beam search returns its single best per REPLICA -> k per
+    input, still input-major."""
+    cfg = GenerateConfig(do_sample=True, num_beams=2, num_return_sequences=2,
+                         max_length=14, top_k=0, top_p=1.0, seed=5,
+                         no_repeat_ngram_size=0)
+    out = generate_ids(_head(), ["planet star", "orbit dwarf"], cfg)
+    assert len(out) == 4
+    for ids, score in out:
+        assert isinstance(score, float)
+
+
+def test_text_generator_flat_contract_under_sampling():
+    gen = TextGenerator(_head(), GenerateConfig(
+        do_sample=True, num_beams=1, num_return_sequences=2, max_length=12,
+        top_k=0, top_p=1.0, seed=3, no_repeat_ngram_size=0))
+    out = gen.generate(["water vapour", "telescope data", "planet"])
+    assert len(out) == 6                     # batch * k, input-major
+    assert all(isinstance(s, str) for s in out)
+
+
+def test_greedy_token_scores_match_independent_recompute():
+    """Greedy token_scores vs an independent oracle: re-run the head on
+    every prefix and gather log_softmax at the chosen token. Also pins the
+    sequence score = sum(token_scores) / sentence_length^length_penalty
+    with sentence_length counting prompt + generated incl. EOS
+    (:1029-1037)."""
+    from kgforge.generation import generate_no_beam_search
+    head = _head()
+    lp = 1.3
+    cfg = GenerateConfig(do_sample=False, num_beams=1, max_length=16,
+                         min_length=0, no_repeat_ngram_size=0,
+                         repetition_penalty=1.0, num_return_sequences=1,
+                         length_penalty=lp)
+    prompt = [BOS_ID] + head.encode("water vapour")
+    seqs, tok, scores = generate_no_beam_search(
+        head, [list(prompt)], cfg, output_scores=True)
+    seq = seqs[0]
+    gen = seq[len(prompt):]
+    n_gen = (gen.index(EOS_ID) + 1) if EOS_ID in gen else len(gen)
+    for t in range(n_gen):                    # independent recompute
+        ctx = seq[:len(prompt) + t]
+        logits = head.next_logits([ctx])[0]
+        logp = logits - np.log(np.sum(np.exp(logits - logits.max()))) \
+            - logits.max()
+        np.testing.assert_allclose(tok[0][t], logp[gen[t]], atol=1e-12)
+    assert all(s == 0.0 for s in tok[0][n_gen:])     # masked tail
+    sent_len = len(prompt) + n_gen
+    np.testing.assert_allclose(scores[0],
+                               np.sum(tok[0]) / sent_len ** lp, atol=1e-12)
+
+
+def test_beam_token_scores_telescope_to_score():
+    """Finalize-path hypotheses: per-token increments sum to the cumulative
+    beam score == score * len^length_penalty (the diff-prepend-0 contract,
+    :2324-2334)."""
+    cfg = GenerateConfig(do_sample=False, num_beams=3, max_length=12,
+                         min_length=12, no_repeat_ngram_size=0,
+                         num_return_sequences=3, length_penalty=1.3)
+    out = generate_ids(_head(), ["habitable zone"], cfg, output_scores=True)
+    assert len(out) == 3
+    for ids, score, tok in out:
+        assert len(tok) >= 1
+        np.testing.assert_allclose(
+            np.sum(tok), score * len(ids) ** 1.3, atol=1e-9)
+
+
+def test_no_beam_token_scores_zero_after_finish():
+    """Rows that hit EOS early contribute 0 on later steps (:965-974), and
+    the sequence length denominator stops at their EOS."""
+    from kgforge.generation import generate_no_beam_search
+    head = _head(is_encoder_decoder=True)
+    cfg = GenerateConfig(do_sample=False, num_beams=1, max_length=24,
+                         min_length=0, no_repeat_ngram_size=0,
+                         num_return_sequences=1)
+    rows = [[BOS_ID], [BOS_ID]]
+    enc = [head.encode("water"), head.encode(DOC)]
+    seqs, tok, scores = generate_no_beam_search(
+        head, rows, cfg, encoder_rows=enc, output_scores=True)
+    # row 0 (tiny source) finishes before row 1 (long source)
+    n0 = seqs[0].index(EOS_ID)
+    assert PAD_ID in seqs[0][n0:]
+    finished_steps = [s for s in tok[0][n0:] if s == 0.0]
+    assert finished_steps                      # masked-to-zero tail exists
+    assert all(s == 0.0 for s in tok[0][n0:])

@@ -98,7 +98,7 @@ def test_beam_hypotheses_keep_top_n(scores, num_beams):
     h = BeamHypotheses(num_beams, None, 1.0, early_stopping=False)
     for s in scores:
         h.add([7], s)
-    kept = sorted((s for s, _ in h.beams), reverse=True)
+    kept = sorted((s for s, *_ in h.beams), reverse=True)
     want = sorted(scores, reverse=True)[:num_beams]
     assert kept == sorted(want, reverse=True)
     assert h.worst_score == min(want)
