@@ -699,11 +699,23 @@ def q_kg_doc_embeddings(spark, sf_dir):
 # pytest-gated in tests/test_multimodal.py)
 # --------------------------------------------------------------------------
 
+_MEDIA_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _media(spark, sf_dir):
-    """SF-proportional deterministic media table (one blob per document)."""
-    from .multimodal import gen_media
-    n = _docs(spark, sf_dir).count()
-    return gen_media(spark, n)
+    """SF-proportional deterministic media table (one blob per document),
+    built ONCE per (session, sf_dir) and persisted — the three media queries
+    share a single count() + generation instead of paying both apiece. The
+    cache is a session-lifetime query-layer convenience; at real scale the
+    media table is a stored input, not a generated one."""
+    key = (id(spark.sparkContext), sf_dir)
+    df = _MEDIA_CACHE.get(key)
+    if df is None:
+        from .multimodal import gen_media
+        n = _docs(spark, sf_dir).count()
+        df = gen_media(spark, n).persist()
+        _MEDIA_CACHE[key] = df
+    return df
 
 
 def q_media_image_features(spark, sf_dir):
