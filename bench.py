@@ -75,18 +75,43 @@ def build_spark(cpus: int):
     )
 
 
+def _warmup(spark, sf_dir: str, cpus: int) -> float:
+    """Untimed session warm-up before sample 1. First-touch costs — JVM JIT,
+    Arrow serializer setup, per-worker Python imports + model-singleton
+    builds, parquet footer caches — otherwise land in the first sample and
+    dominate the recorded spread (r2: kg_triples cold 52.8s vs warm 15.7s).
+    The warm-up pipeline pass runs on SYNTHETIC pages fanned across
+    2*cpus partitions so EVERY Python worker pays its ~2 CPU-s import +
+    singleton build here, not in sample 1 (a limit() warm-up would collapse
+    to one partition and warm exactly one worker); the scan query warms the
+    sf_dir parquet footers. Timing protocol (best-of-N, every sample
+    recorded) is unchanged."""
+    from kgforge.config import PipelineConfig
+    from kgforge.pipeline import run_pipeline
+    from kgforge.queries import QUERIES, _alias_df, pages_synthetic
+
+    t0 = time.time()
+    pages = pages_synthetic(spark, 8 * cpus, partitions=2 * cpus)
+    run_pipeline(spark, pages, _alias_df(spark), PipelineConfig()).count()
+    QUERIES["doc_token_count"](spark, sf_dir).count()
+    return round(time.time() - t0, 3)
+
+
 def run_default(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
-    """Headline bench: each query timed ``repeats`` times in-session, BEST
-    wall kept — the same min-of-N protocol as the scaling evidence
-    (BENCH/BASELINE.md): this host's hypervisor injects up to ±50% noise on
-    identical runs, and min-of-N measures capability, not the hypervisor."""
+    """Headline bench: untimed session warm-up, then each query timed
+    ``repeats`` times in-session, BEST wall kept — the same min-of-N
+    protocol as the scaling evidence (BENCH/BASELINE.md): this host's
+    hypervisor injects up to ±50% noise on identical runs, and min-of-N
+    measures capability, not the hypervisor."""
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    warmup_sec = _warmup(spark, sf_dir, cpus)
     from kgforge.queries import QUERIES
 
     per_query: dict[str, float] = {}
     extra: dict[str, object] = {"cpus": cpus, "sf_dir": sf_dir,
-                                "best_of": repeats, "samples": {}}
+                                "best_of": repeats, "samples": {},
+                                "warmup_sec": warmup_sec}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
