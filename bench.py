@@ -83,17 +83,22 @@ def _warmup(spark, sf_dir: str, cpus: int) -> float:
     The warm-up pipeline pass runs on SYNTHETIC pages fanned across
     2*cpus partitions so EVERY Python worker pays its ~2 CPU-s import +
     singleton build here, not in sample 1 (a limit() warm-up would collapse
-    to one partition and warm exactly one worker); the scan query warms the
-    sf_dir parquet footers. Timing protocol (best-of-N, every sample
-    recorded) is unchanged."""
+    to one partition and warm exactly one worker); a metadata count over
+    EVERY sf_dir table primes the parquet footers all eight headline
+    queries scan (not just documents — embeddings/events/lineitem/orders
+    feed half the set). Timing protocol (best-of-N, every sample recorded)
+    is unchanged."""
+    import glob
+
     from kgforge.config import PipelineConfig
     from kgforge.pipeline import run_pipeline
-    from kgforge.queries import QUERIES, _alias_df, pages_synthetic
+    from kgforge.queries import _alias_df, pages_synthetic
 
     t0 = time.time()
     pages = pages_synthetic(spark, 8 * cpus, partitions=2 * cpus)
     run_pipeline(spark, pages, _alias_df(spark), PipelineConfig()).count()
-    QUERIES["doc_token_count"](spark, sf_dir).count()
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(p).count()
     return round(time.time() - t0, 3)
 
 
@@ -152,6 +157,14 @@ def run_kg_only(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     from kgforge.config import PipelineConfig
 
     cfg = PipelineConfig(shuffle_partitions=max(16, cpus * 4))
+    # untimed warm-up: spin up every Python worker (imports + model
+    # singletons) and JIT the hot paths BEFORE the timed window. A real
+    # cluster job amortizes these fixed per-JVM costs over hours; including
+    # them in a minutes-long sample charges the same absolute overhead
+    # against a 4x smaller denominator for the wide config and mechanically
+    # deflates measured scaling efficiency (see BENCH/BASELINE.md).
+    warm = pages_synthetic(spark, 8 * cpus, partitions=2 * cpus)
+    run_pipeline(spark, warm, _alias_df(spark), cfg).count()
     if n_pages:
         pages = pages_synthetic(spark, n_pages, partitions=cpus * 4)
         page_count = n_pages
@@ -262,7 +275,11 @@ def _write_baseline_md(report: dict, low: int, high: int,
         "",
         "Noise handling: the hypervisor injects minute-scale noise (identical",
         "runs spread +/-25%); each width runs repeatedly, BEST wall kept",
-        "(capability measurement). All samples listed. Reproduce:",
+        "(capability measurement). All samples listed. Each fresh JVM runs an",
+        "untimed warm-up pass (Python-worker imports, model singletons, JIT)",
+        "before its timed window — a real cluster job amortizes these fixed",
+        "costs over hours, and charging them to a minutes-long sample",
+        "asymmetrically penalizes the wide config. Reproduce:",
         "`python bench.py --scaling`.",
         "",
         "| parallelism | samples (wall sec) | best | triples/sec (best) |",

@@ -358,11 +358,11 @@ ACTIVATIONS = {
 }
 
 
-def _erf(x: np.ndarray) -> np.ndarray:
-    # vectorized erf without scipy: numpy lacks erf; use the complementary
-    # identity via math.erf elementwise (D is small; called once per batch)
-    import math
-    return np.vectorize(math.erf)(x)
+import math as _math
+
+# numpy lacks erf and scipy is absent; a module-level vectorized math.erf
+# avoids re-building the ufunc per Arrow batch on the executor hot path
+_erf = np.vectorize(_math.erf)
 
 
 class DenseLayer:

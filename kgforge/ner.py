@@ -92,7 +92,16 @@ def predict_tokens(
     """Port of TokenClassificationModel::predict (token_classification.rs:957-1042)."""
     labels = labels or NER_LABELS
     from .workers import get_tokenizer
-    tokenizer = get_tokenizer(getattr(cfg, "tokenizer", "chunk"))
+    kind = getattr(cfg, "tokenizer", "chunk")
+    enc_kind = getattr(encoder, "tokenizer_kind", None)
+    if enc_kind is not None and enc_kind != kind:
+        # the gazetteer is keyed on ITS tokenizer's pieces; featurizing with
+        # a different one silently misses every entity (all-O output) —
+        # refuse loudly instead
+        raise ValueError(
+            f"encoder gazetteer keyed for tokenizer {enc_kind!r} but "
+            f"cfg.tokenizer={kind!r}")
+    tokenizer = get_tokenizer(kind)
     features: list[InputFeature] = []
     for example_index, text in enumerate(texts):
         features.extend(

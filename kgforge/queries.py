@@ -708,7 +708,12 @@ def _media(spark, sf_dir):
     share a single count() + generation instead of paying both apiece. The
     cache is a session-lifetime query-layer convenience; at real scale the
     media table is a stored input, not a generated one."""
-    key = (id(spark.sparkContext), sf_dir)
+    sc_id = id(spark.sparkContext)
+    # evict other sessions' entries: a stopped session's frames are useless
+    # and would pin dead py4j objects for the process lifetime
+    for stale in [k for k in _MEDIA_CACHE if k[0] != sc_id]:
+        _MEDIA_CACHE.pop(stale)
+    key = (sc_id, sf_dir)
     df = _MEDIA_CACHE.get(key)
     if df is None:
         from .multimodal import gen_media

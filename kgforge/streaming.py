@@ -82,6 +82,11 @@ def stream_dedup_pages(pages: DataFrame) -> DataFrame:
     horizon suffices, ``dropDuplicatesWithinWatermark`` on ``text_md5`` is
     the built-in alternative (state then expires with the watermark).
 
+    Upgrade note: this operator's grouping key (was a 64-way digest bucket)
+    and state schema (was array<string>) changed; a checkpoint written by
+    the previous version fails state-schema validation on restart — resume
+    deduplication from a FRESH checkpointLocation when upgrading.
+
     Output: the FULL pages schema plus ``text_md5``, so the deduped stream
     composes directly with the downstream stages (run_triples_stream's
     pipeline, page_rates_windowed)."""
@@ -111,6 +116,24 @@ def stream_dedup_pages(pages: DataFrame) -> DataFrame:
         .applyInPandasWithState(
             dedup, out_schema, state_schema, "append",
             GroupStateTimeout.NoTimeout)
+    )
+
+
+def stream_dedup_pages_within_watermark(pages: DataFrame,
+                                        watermark: str = "2 hours") -> DataFrame:
+    """Bounded-horizon dedup: the built-in alternative to
+    ``stream_dedup_pages`` when forever-exact dedup is not required. State
+    is keyed by ``text_md5`` and EXPIRES with the event-time watermark, so
+    total state is O(pages within the horizon) no matter how old the
+    corpus grows — the right default for continuous crawls where re-crawled
+    pages arrive within a known window. Late duplicates beyond the
+    watermark pass through (the documented trade-off vs the exact
+    operator)."""
+    return (
+        pages
+        .withColumn("text_md5", F.md5(F.col("text").cast("binary")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
     )
 
 

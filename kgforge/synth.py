@@ -156,6 +156,15 @@ def build_gazetteer(catalog: list[EntityDef] | None = None,
                     t = tokenizer.tokenize_with_offsets(word)
                     if not t.pieces:
                         continue
+                    # never plant a degenerate single-char key for a longer
+                    # word (a char-fallback piece like "J" for "J.Crew"
+                    # would tag EVERY corpus word starting with that char);
+                    # the vocab includes the surface's sub-words, so this
+                    # only fires for genuinely unmatchable fragments
+                    if len(word) > 1 and t.ends[0] - t.begins[0] == 1:
+                        continue
+                    if t.pieces[0] == getattr(tokenizer, "UNK", None):
+                        continue    # ditto: [UNK] would match every OOV word
                     marked = t.pieces[0]
                 gaz.setdefault(token_id(marked), label)
     return gaz
@@ -169,10 +178,14 @@ def wordpiece_vocab_words() -> list[str]:
     from_words char fallback — never [UNK], and multi-piece words keep the
     consolidation path exercised."""
     from .config import RELATIONS
+    from .tokenization import _WORD_RE
     words: set[str] = set()
     for ent in entity_catalog():
         for surface in {ent.canonical, *ent.aliases}:
-            words.update(surface.split())
+            # split with the SAME word regex the tokenizer uses, so
+            # punctuated surfaces ("Jean-Pierre", "O'Brien") contribute
+            # their sub-words and never degrade to char fallback
+            words.update(m.group(0) for m in _WORD_RE.finditer(surface))
     for rel in RELATIONS.values():
         words.update(rel["trigger"].split())
     return sorted(words)

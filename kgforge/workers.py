@@ -20,8 +20,12 @@ def get_token_classifier(seed: int = 42,
     key = ("tokcls", seed, tokenizer)
     if key not in _CACHE:
         from .synth import build_gazetteer
-        _CACHE[key] = StandInTokenClassifier(
+        clf = StandInTokenClassifier(
             build_gazetteer(tokenizer=get_tokenizer(tokenizer)), seed=seed)
+        # stamp the gazetteer's tokenizer so predict_tokens can refuse a
+        # mismatched cfg.tokenizer (silent all-O otherwise)
+        clf.tokenizer_kind = tokenizer
+        _CACHE[key] = clf
     return _CACHE[key]  # type: ignore[return-value]
 
 

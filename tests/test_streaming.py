@@ -230,3 +230,66 @@ def test_max_files_per_trigger_bounds_batches(spark, alias_df, tmp_path):
     q.awaitTermination(120)
     assert len(seen) == 3
     assert sum(n for _, n in seen) == 30
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark variant: duplicates within the horizon
+    are dropped across micro-batches, and state EXPIRES with the watermark
+    (numRowsTotal shrinks once event time advances past old keys)."""
+    import datetime
+
+    from kgforge.streaming import (read_page_stream,
+                                   stream_dedup_pages_within_watermark)
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(u, ts, b"x", t, "en") for u, ts, t in rows],
+            schema=schemas.PAGES).coalesce(1).write.mode("append") \
+            .parquet(indir)
+
+    def run_once():
+        q = (stream_dedup_pages_within_watermark(
+                read_page_stream(spark, indir), watermark="1 hour")
+             .writeStream.format("parquet")
+             .option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        total = 0
+        for p in q.recentProgress:
+            for op in (p["stateOperators"] or []):
+                total = max(total, op["numRowsTotal"])
+        return total
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    write_batch([("u1", t0, "alpha"), ("u2", t0, "beta"),
+                 ("u3", t0, "alpha")])
+    state1 = run_once()
+    assert spark.read.parquet(outdir).count() == 2       # in-batch dup dropped
+    assert state1 == 2
+
+    # same texts within the horizon: dropped across batches
+    t1 = t0 + datetime.timedelta(minutes=30)
+    write_batch([("u4", t1, "alpha"), ("u5", t1, "gamma")])
+    run_once()
+    assert spark.read.parquet(outdir).count() == 3       # only gamma new
+
+    # event time jumps far past the watermark: eviction happens on the batch
+    # AFTER the watermark advances (watermark is computed from the previous
+    # batch's max event time), so push one more batch and observe the state
+    # shrink to just the in-horizon keys
+    t2 = t0 + datetime.timedelta(days=2)
+    write_batch([("u6", t2, "delta")])
+    run_once()
+    assert spark.read.parquet(outdir).count() == 4
+    t3 = t2 + datetime.timedelta(minutes=1)
+    write_batch([("u7", t3, "epsilon")])
+    state4 = run_once()
+    assert spark.read.parquet(outdir).count() == 5
+    assert state4 <= 2        # alpha/beta/gamma expired; delta+epsilon held

@@ -225,3 +225,54 @@ def test_wordpiece_generate_features_and_gazetteer_agree():
     assert token_id("Tromsø") in gaz
     ids = feats[0].input_ids
     assert token_id("Vandelay") in ids and token_id("Tromsø") in ids
+
+
+def test_gazetteer_skips_degenerate_wordpiece_keys():
+    """Catalog surfaces whose first piece degrades to a 1-char fallback (or
+    [UNK]) must plant NO gazetteer key: a key like token_id('b') would tag
+    every corpus word starting with that char as an entity."""
+    from kgforge.synth import EntityDef, build_gazetteer
+    from kgforge.tokenization import token_id
+    # vocab {"ab" + chars a,b}: "ba" has no 2-char prefix match -> first
+    # piece "b" covers 1 of 2 chars -> skipped
+    tok = WordPieceTokenizer.from_words(["ab"])
+    cat = [EntityDef("PER_1", "PER", "ba")]
+    assert build_gazetteer(cat, tokenizer=tok) == {}
+    # wholly unmatchable word -> [UNK] first piece -> skipped too
+    tok2 = WordPieceTokenizer({"x"})
+    assert build_gazetteer(cat, tokenizer=tok2) == {}
+    # sanity: a clean in-vocab word still keys normally
+    tok3 = WordPieceTokenizer.from_words(["ba"])
+    assert token_id("ba") in build_gazetteer(cat, tokenizer=tok3)
+
+
+def test_punctuated_surface_keys_on_subword_not_char():
+    """Punctuated catalog surfaces contribute their _WORD_RE sub-words to
+    the vocab, so the gazetteer keys on the full first sub-word."""
+    from kgforge.synth import EntityDef, build_gazetteer
+    from kgforge.tokenization import token_id
+    cat = [EntityDef("PER_2", "PER", "Jean-Pierre Dupont")]
+    words = set()
+    import re
+    for m in re.finditer(r"\w+|[^\w\s]", "Jean-Pierre Dupont"):
+        words.add(m.group(0))
+    tok = WordPieceTokenizer.from_words(sorted(words))
+    gaz = build_gazetteer(cat, tokenizer=tok)
+    assert token_id("Jean") in gaz and token_id("Dupont") in gaz
+    assert token_id("J") not in gaz
+
+
+def test_predict_tokens_rejects_tokenizer_gazetteer_mismatch():
+    """A chunk-keyed gazetteer featurized with WordPiece would silently
+    return all-O; the mismatch must raise instead."""
+    import pytest
+    from kgforge.config import PipelineConfig
+    from kgforge.ner import predict_tokens
+    from kgforge.workers import get_token_classifier
+    enc = get_token_classifier(42, "chunk")
+    with pytest.raises(ValueError, match="gazetteer keyed"):
+        predict_tokens(["Vandelay Holdings"], enc,
+                       PipelineConfig(tokenizer="wordpiece"))
+    # matched kinds still work
+    toks = predict_tokens(["Vandelay Holdings"], enc, PipelineConfig())
+    assert toks and toks[0]
