@@ -137,6 +137,84 @@ FROM w
 """
 
 
+# language-ID marker sets (classic stopword/marker profile heuristic in the
+# spirit of Cavnar-Trenkle n-gram profiling, reduced to exact integer math
+# so the prediction is value-identical across engines). Word markers are
+# chosen to be disjoint across the latin-script sets; zh is scored by
+# occurrence counts of high-frequency hanzi (word splitting does not apply).
+LANG_MARKERS = {
+    "de": ("der", "die", "und", "nicht", "ein", "mit", "ist", "das"),
+    "en": ("the", "and", "was", "that", "with", "have", "this", "from"),
+    "es": ("los", "las", "una", "por", "con", "pero", "como", "para"),
+    "fr": ("les", "une", "dans", "pour", "avec", "est", "qui", "sur"),
+    "zh": ("的", "是", "不", "了", "在", "我", "有", "这"),
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Language identification via marker-profile scoring: per-language
+    integer hit counts (whole-word for latin scripts, character-occurrence
+    for zh), argmax with alphabetical tie-break, 'und' when no marker hits.
+    Exact integer math end-to-end -> SQL-oracled. At 100 TB this is one
+    narrow projection + per-row array ops, no shuffle, whole-stage codegen."""
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda x: x != "")
+    counts = {}
+    for lang, marks in LANG_MARKERS.items():
+        if lang == "zh":
+            expr = None
+            for ch in marks:
+                occ = (F.length(F.col("text"))
+                       - F.length(F.replace(F.col("text"), F.lit(ch),
+                                            F.lit(""))))
+                expr = occ if expr is None else expr + occ
+            counts[lang] = expr.cast("int")
+        else:
+            def _hits(marks_):
+                return lambda x: x.isin(*marks_)
+            counts[lang] = F.size(F.filter(words, _hits(marks))).cast("int")
+    # two-step select: the marker counts are each computed ONCE here; the
+    # argmax below references the materialized columns. CollapseProject
+    # keeps the boundary (it refuses to duplicate non-cheap producer
+    # expressions), so the split/filter work is not re-evaluated per CASE arm.
+    counted = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        *[counts[lang].alias(f"c_{lang}") for lang in LANG_MARKERS])
+    m = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(m == F.lit(0), F.lit("und"))
+    for lang in LANG_MARKERS:  # alphabetical insertion order = tie-break
+        pred = pred.when(F.col(f"c_{lang}") == m, F.lit(lang))
+    return counted.select("*", pred.alias("pred_lang"))
+
+
+def _sql_lang_id() -> str:
+    word_counts = ",\n    ".join(
+        "CAST(len(list_filter(words, x -> x IN ({}))) AS INTEGER) AS c_{}"
+        .format(", ".join(f"'{w}'" for w in marks), lang)
+        for lang, marks in LANG_MARKERS.items() if lang != "zh")
+    zh = " + ".join(
+        f"(length(text) - length(replace(text, '{ch}', '')))"
+        for ch in LANG_MARKERS["zh"])
+    langs = list(LANG_MARKERS)
+    tie = " ".join(f"WHEN c_{lang} = m THEN '{lang}'" for lang in langs[:-1])
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+    {word_counts},
+    CAST({zh} AS INTEGER) AS c_zh
+  FROM w
+)
+SELECT doc_id, lang, c_de, c_en, c_es, c_fr, c_zh,
+       CASE WHEN m = 0 THEN 'und' {tie} ELSE '{langs[-1]}' END AS pred_lang
+FROM (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS m FROM c)
+"""
+
+
 # --------------------------------------------------------------------------
 # deduplication family
 # --------------------------------------------------------------------------
@@ -1461,6 +1539,7 @@ QUERIES = {
     "doc_token_count": q_doc_token_count,
     "doc_stopword_stats": q_doc_stopword_stats,
     "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -1513,6 +1592,7 @@ ORACLES = {
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_stopword_stats": SQL_DOC_STOPWORD_STATS,
     "doc_quality": SQL_DOC_QUALITY,
+    "lang_id": _sql_lang_id(),
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,

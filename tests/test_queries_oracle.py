@@ -107,3 +107,30 @@ def test_kg_triples_match_gold(spark, entry_mod):
     gold = gold_for_documents(spark, SF_DIR)
     pr = triple_pr(triples, gold)
     assert pr.precision >= 0.95 and pr.recall >= 0.95, pr
+
+
+def test_lang_id_accuracy_on_real_language_snippets(spark, tmp_path):
+    """Engine parity is gated by the oracle sweep above; this gates that the
+    marker profiles actually IDENTIFY languages: real-text snippets in each
+    supported language must classify correctly, and marker-free text must
+    fall back to 'und'."""
+    import pandas as pd
+    from kgforge.queries import q_lang_id
+
+    snippets = [
+        (0, "der hund ist nicht mit der katze und das haus war da", "de"),
+        (1, "the quick dog was running from this house and that tree", "en"),
+        (2, "los perros y las casas una por con pero como para siempre", "es"),
+        (3, "les chats une dans pour avec est qui sur la table", "fr"),
+        (4, "我的朋友是不了在我这有的是好人", "zh"),
+        (5, "lorem ipsum dolor sit amet consectetur adipiscing elit", "und"),
+    ]
+    pdf = pd.DataFrame(
+        [{"doc_id": i, "text": t, "lang": lang, "source": "test",
+          "n_chars": len(t)} for i, t, lang in snippets])
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in q_lang_id(spark, sf_dir).collect()}
+    want = {i: lang for i, _, lang in snippets}
+    assert got == want
