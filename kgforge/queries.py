@@ -52,14 +52,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # text analysis over documents
 # --------------------------------------------------------------------------
 
+# BPE-ish pre-tokenization regex (letter runs | digit runs | single
+# punctuation): the same class structure GPT-2-style pre-tokenizers use,
+# restricted to constructs Java regex and RE2 evaluate identically
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def q_doc_token_count(spark, sf_dir):
-    """Token counting (whitespace tokenizer) — flat-map/projection family."""
+    """Token counting — whitespace tokens AND BPE-ish regex sub-tokens
+    (flat-map/projection family, whole-stage codegen, no shuffle)."""
     return (
         _docs(spark, sf_dir)
         .select(
             "doc_id",
             F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
              .alias("n_tok"),
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+             .alias("n_subtok"),
             F.length("text").alias("n_chars_actual"),
         )
     )
@@ -68,6 +77,7 @@ def q_doc_token_count(spark, sf_dir):
 SQL_DOC_TOKEN_COUNT = f"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_subtok,
        length(text) AS n_chars_actual
 FROM documents
 """
@@ -360,6 +370,41 @@ FROM w
 # --------------------------------------------------------------------------
 # model-stage operators with engine-exact SQL heads (textops)
 # --------------------------------------------------------------------------
+
+def q_kgram_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (Rabin-Karp k-gram / winnowing
+    family): polynomial hashes of every character 8-gram of lower(text);
+    emit min/max hash + distinct-gram count as the fingerprint. Map-side
+    only (one narrow projection, no shuffle); the O(1)-rolling recurrence
+    is proven equivalent in pytest (kgram_hashes oracle)."""
+    from .textops import kgram_fingerprint_sql
+
+    hs = kgram_fingerprint_sql("lower(text)", "spark")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select(
+            "doc_id",
+            F.array_min("hs").alias("fp_min"),
+            F.array_max("hs").alias("fp_max"),
+            F.size(F.array_distinct("hs")).alias("n_distinct_grams"),
+        )
+    )
+
+
+def _sql_kgram_fingerprint():
+    from .textops import kgram_fingerprint_sql
+
+    hs = kgram_fingerprint_sql("lower(text)", "duckdb")
+    return f"""
+WITH h AS (SELECT doc_id, {hs} AS hs FROM documents)
+SELECT doc_id,
+       list_min(hs) AS fp_min,
+       list_max(hs) AS fp_max,
+       CAST(len(list_distinct(hs)) AS INT) AS n_distinct_grams
+FROM h
+"""
+
 
 def q_pos_tags(spark, sf_dir):
     """POS tagging: the rule head is exactly expressible in SQL, so this
@@ -1545,6 +1590,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_fingerprint": q_doc_fingerprint,
+    "kgram_fingerprint": q_kgram_fingerprint,
     # model-stage ops with SQL-exact heads
     "pos_tags": q_pos_tags,
     "sentiment": q_sentiment,
@@ -1597,6 +1643,7 @@ ORACLES = {
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "kgram_fingerprint": _sql_kgram_fingerprint(),
     "pos_tags": _sql_pos_tags(),
     "sentiment": _sql_sentiment(),
     "simhash": _sql_simhash(),

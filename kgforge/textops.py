@@ -124,6 +124,43 @@ def h32_sql(word_expr: str, engine: str) -> str:
     return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {chars}), (acc, c) -> (acc * 31 + c) % 4294967296)"
 
 
+def kgram_hashes(text: str, k: int = 8) -> list[int]:
+    """Rabin-Karp k-gram fingerprint hashes (pure-Python oracle): the
+    polynomial hash of every character k-gram of the lowercased text,
+    computed with O(1) rolling updates (h_next = (h*31 + in - out*31^k))."""
+    t = text.lower()
+    n = len(t)
+    if n < k:
+        return []
+    pow_k = pow(31, k, _MOD32)
+    h = 0
+    for ch in t[:k]:
+        h = (h * 31 + ord(ch)) % _MOD32
+    out = [h]
+    for i in range(k, n):
+        h = (h * 31 + ord(t[i]) - ord(t[i - k]) * pow_k) % _MOD32
+        out.append(h)
+    return out
+
+
+def kgram_fingerprint_sql(text_expr: str, engine: str, k: int = 8) -> str:
+    """k-gram rolling-hash fingerprint expressions per engine: the list of
+    polynomial hashes of every character k-gram of lower(text). The SQL form
+    recomputes each gram's hash from its chars (O(len*k) map-side work, no
+    shuffle — the Python kgram_hashes oracle proves the O(len) rolling
+    recurrence yields identical values)."""
+    h = h32_sql("g", engine)
+    if engine == "spark":
+        grams = (f"transform(sequence(1, length({text_expr}) - {k - 1}), "
+                 f"i -> substring({text_expr}, i, {k}))")
+        return (f"CASE WHEN length({text_expr}) >= {k} "
+                f"THEN transform({grams}, g -> {h}) "
+                f"ELSE cast(array() as array<bigint>) END")
+    grams = (f"[{text_expr}[i:i+{k - 1}] "
+             f"for i in range(1, length({text_expr}) - {k - 2})]")
+    return f"list_transform({grams}, g -> {h})"
+
+
 def simhash_sql(words_expr: str, engine: str) -> str:
     """SimHash over a distinct-word list expression, generated per engine."""
     h = h32_sql("w", engine)

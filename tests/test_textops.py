@@ -120,3 +120,22 @@ def test_keyword_scorers():
 def test_keyword_empty_text():
     assert extract_keywords([""])[0] == []
     assert extract_keywords(["the of and"])[0] == []
+
+
+def test_kgram_rolling_hash_equals_naive():
+    """The O(1) rolling recurrence (h*31 + in - out*31^k mod 2^32) must
+    produce exactly the per-gram polynomial hash the SQL form computes."""
+    from kgforge.textops import h32, kgram_hashes
+
+    texts = ["the quick brown fox jumps over the lazy dog", "abc",
+             "abcdefgh", "", "aaaaaaaaaaaa", "A" * 7,
+             "Ünïcödé tèxt wíth mültibyte çhärs 北京 テスト"]
+    for t in texts:
+        lo = t.lower()
+        naive = ([h32(lo[i:i + 8]) for i in range(len(lo) - 7)]
+                 if len(lo) >= 8 else [])
+        assert kgram_hashes(t, 8) == naive, t
+    # different k
+    t = "rolling hash windows"
+    lo = t.lower()
+    assert kgram_hashes(t, 4) == [h32(lo[i:i + 4]) for i in range(len(lo) - 3)]
