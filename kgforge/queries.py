@@ -717,6 +717,71 @@ def q_embedding_ann_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
     )
 
 
+def q_embedding_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
+                         n_centroids: int = 16, n_probe: int = 4,
+                         train_n: int = 256):
+    """IVF ANN top-k (inverted-file index, the FAISS coarse-quantizer
+    design; LSH above is the other scale path). Centroids are trained on a
+    BOUNDED deterministic sample collected to the driver (train_n rows —
+    at 100 TB this stays a seeded bounded sample, the standard IVF recipe),
+    then shipped in the task closure: corpus assignment is one Arrow map
+    pass, probing is an equi-join on centroid_id, exact cosine reranks
+    JVM-side. Candidate work per query is ~N*n_probe/n_centroids instead
+    of O(N). Deterministic but approximate -> no SQL oracle (recall vs
+    brute force is pytest-gated; values pinned by golden digest)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    from .ann import ivf_assign, kmeans_fit
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    train = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in emb.where(F.col("vec_id") < train_n)
+                                  .orderBy("vec_id").collect()])
+    cents = kmeans_fit(train, n_centroids, seed=42)
+
+    def assign_gen(batches):
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype=np.float64)
+                             for v in pdf["embedding"]])
+            probes = (ivf_assign(vecs, cents, n_probe).astype("int64")
+                      if len(vecs) else np.zeros((0, n_probe), dtype="int64"))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": pdf["embedding"],
+                                "probes": list(probes)})
+
+    sig_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("probes", ArrayType(LongType())),
+    ])
+    assigned = emb.mapInPandas(assign_gen, schema=sig_schema)
+    # corpus side: first probe = the vector's own inverted list
+    c = assigned.select(F.col("vec_id").alias("corpus_id"),
+                        F.col("embedding").alias("cv"),
+                        F.element_at("probes", 1).alias("centroid_id"))
+    q = (assigned.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.explode("probes").alias("centroid_id")))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        q.join(c, "centroid_id")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv"))
+                    / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def q_kg_zero_shot(spark, sf_dir):
     """Zero-shot classification over documents (reference zero-shot
     single-label semantics: entailment softmax across labels); rows-only
@@ -1600,6 +1665,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_ann_topk": q_embedding_ann_topk,   # approximate; rows-only
+    "embedding_ivf_topk": q_embedding_ivf_topk,   # approximate; rows-only
     "kg_doc_embeddings": q_kg_doc_embeddings,     # model op; rows-only
     "kg_zero_shot": q_kg_zero_shot,               # model op; rows-only
     # multimodal columns (rows-only)

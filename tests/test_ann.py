@@ -97,3 +97,73 @@ def test_hot_label_candidates_bounded_by_lsh():
     # (b) near-duplicates survive the blocking
     recall = len(true_pairs & cand) / len(true_pairs)
     assert recall >= 0.9, recall
+
+
+def test_ivf_recall_vs_bruteforce():
+    corpus = _corpus()
+    queries = corpus[:10] + 0.01
+    exact_idx, _ = cosine_topk(queries, corpus, k=5)
+    from kgforge.ann import ivf_topk_local
+    ivf_idx, ivf_scores = ivf_topk_local(queries, corpus, k=5,
+                                         n_centroids=16, n_probe=4)
+    hits = sum(len(set(exact_idx[qi]) & set(ivf_idx[qi]))
+               for qi in range(len(queries)))
+    recall = hits / (5 * len(queries))
+    assert recall >= 0.8, recall
+    for s in ivf_scores:
+        assert all(a >= b - 1e-12 for a, b in zip(s, s[1:]))
+
+
+def test_ivf_deterministic_and_bounded_lists():
+    from kgforge.ann import ivf_assign, ivf_topk_local, kmeans_fit
+    import numpy as np
+    corpus = _corpus(300)
+    a = ivf_topk_local(corpus[:3], corpus, k=4)
+    b = ivf_topk_local(corpus[:3], corpus, k=4)
+    assert a == b
+    cents = kmeans_fit(corpus, 16, seed=42)
+    assert cents.shape == (16, corpus.shape[1])
+    # unit centroids (spherical k-means)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    assign = ivf_assign(corpus, cents, 1)[:, 0]
+    # inverted lists stay balanced enough that probing n_probe/n_centroids
+    # of them bounds candidate work well below the full corpus
+    counts = np.bincount(assign, minlength=16)
+    assert counts.max() < 0.5 * len(corpus), counts.max()
+    probes = ivf_assign(corpus[:5], cents, 4)
+    assert probes.shape == (5, 4)
+    # each probe row: distinct centroids, best-first
+    for row in probes:
+        assert len(set(row.tolist())) == 4
+
+
+def test_ivf_distributed_recall_on_clustered_embeddings(spark, tmp_path):
+    """Gate the DISTRIBUTED q_embedding_ivf_topk (not just the local
+    reference): on clustered embeddings (the realistic regime — the sf
+    tables' synthetic vectors are isotropic, every ANN's pathological case)
+    the equi-join-on-centroid plan must recall >=80% of brute-force top-k."""
+    import pandas as pd
+
+    from kgforge.link import cosine_topk
+    from kgforge.queries import q_embedding_ivf_topk
+
+    corpus = _corpus(n=400, d=64, seed=11)
+    pdf = pd.DataFrame({
+        "vec_id": range(len(corpus)),
+        "embedding": [row.astype("float32").tolist() for row in corpus],
+        "label": [i % 7 for i in range(len(corpus))],
+    })
+    pdf.to_parquet(f"{tmp_path}/embeddings.parquet")
+    got = q_embedding_ivf_topk(spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    # exact brute force excluding self (the query excludes query_id==corpus_id)
+    queries = corpus[:5]
+    exact_idx, _ = cosine_topk(queries, corpus, k=6)
+    hits = total = 0
+    for qi in range(5):
+        want = [i for i in exact_idx[qi] if i != qi][:5]
+        hits += len(set(want) & by_q.get(qi, set()))
+        total += len(want)
+    assert hits / total >= 0.8, (hits, total)

@@ -82,7 +82,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     # non-oracled entries are exactly the model-pipeline / approximate ops
     assert set(qs) - set(oracles) == {
         "kg_triples", "kg_entities", "kg_linked", "kg_doc_embeddings",
-        "kg_zero_shot", "embedding_ann_topk",
+        "kg_zero_shot", "embedding_ann_topk", "embedding_ivf_topk",
         "gen_greedy", "summarize_beam", "translate_m2m",
         "seq_classify", "masked_fill", "qa_extractive",
         "media_image_features", "media_audio_stats", "media_video_frames",
