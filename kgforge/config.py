@@ -32,8 +32,10 @@ class PipelineConfig:
     ann_block_prefix: int = 1       # chars of normalized name used as block key
     ann_top_k: int = 1
     # --- skew handling ---
+    # (hot-domain skew needs no salt knob: every wide exchange keys on a
+    # uniform hash — xxhash64(url, sent_idx) for the model stage,
+    # pmod(xxhash64(url), B) for the write — and AQE skew-join covers joins)
     length_bucket_base: int = 2     # bucket = ceil(log2(n_tokens)) base
-    salt_buckets: int = 16          # salt granularity for hot-domain groupBys
     # --- model identity (lineage) ---
     model_name: str = "standin-v1"
     seed: int = 42
