@@ -36,7 +36,6 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from kgforge import schemas
     from kgforge.config import PipelineConfig
     from kgforge.pipeline import materialize_triples, run_pipeline
 

@@ -24,7 +24,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .tokenization import tokenize_with_offsets
 
 MASK_MARKER = "[MASK]"
 

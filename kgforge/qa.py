@@ -29,7 +29,6 @@ from .config import PipelineConfig
 from .encoders import _hash_noise, softmax
 from .tokenization import (
     CLS_ID,
-    MASK_SPECIAL,
     PAD_ID,
     SEP_ID,
     tokenize_with_offsets,

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # token masks (reference: rust-tokenizers Mask enum, used at
 # token_classification.rs:1016-1022)

@@ -15,8 +15,8 @@ above is pure, portable math and is what this module pins."""
 
 from __future__ import annotations
 
-from .generation import (BOS_ID, GenerateConfig, StandInLMHead, generate_ids)
-from .languages import LANGUAGES, display_name, iso_639_1, nllb_code
+from .generation import GenerateConfig, StandInLMHead, generate_ids
+from .languages import display_name, iso_639_1, nllb_code
 
 MARIAN = "marian"
 T5 = "t5"

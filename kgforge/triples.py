@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .config import RELATIONS, PipelineConfig
+from .config import RELATIONS
 from .encoders import StandInNLI, multilabel_entailment_scores
 
 # (subj_type, obj_type) -> [relation names] — closed-world candidate gating

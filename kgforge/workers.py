@@ -9,7 +9,6 @@ never per-row, never per-batch (SURVEY §7 "Model-in-UDF lifecycle").
 
 from __future__ import annotations
 
-from .config import PipelineConfig
 from .encoders import StandInEmbedder, StandInNLI, StandInTokenClassifier
 
 _CACHE: dict[tuple, object] = {}

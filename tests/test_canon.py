@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import random
 
-import pytest
 
 from kgforge.canon import cc_unionfind, connected_components
 

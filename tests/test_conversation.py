@@ -5,9 +5,9 @@ from __future__ import annotations
 
 import pytest
 
-from kgforge.conversation import (CONVERSATION_CONFIG, Conversation,
+from kgforge.conversation import (Conversation,
                                   ConversationManager, ConversationModel)
-from kgforge.generation import EOS_ID, GenerateConfig, StandInLMHead
+from kgforge.generation import EOS_ID, StandInLMHead
 
 VOCAB = ["movies", "tonight", "action", "comedy", "great", "watch",
          "popcorn", "cinema", "ticket", "seat"]

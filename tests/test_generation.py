@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from kgforge.generation import (
-    BOS_ID, EOS_ID, PAD_ID, NEG_INF,
+    BOS_ID, EOS_ID, PAD_ID,
     BeamHypotheses, GenerateConfig, StandInLMHead, Summarizer,
     SUMMARIZATION_CONFIG, TextGenerator,
     banned_ngram_tokens, enforce_repetition_penalty, force_token_id,

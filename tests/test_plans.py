@@ -4,7 +4,6 @@ unnecessary shuffles (SURVEY §4)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -127,3 +126,27 @@ def test_pipeline_has_single_bigdata_exchange(spark, alias_df):
     import re
     plan = _plan(scored)
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_text_analysis_queries_have_no_shuffle(spark):
+    """lang_id and kgram_fingerprint are pure per-row projections — at
+    100 TB they must stay map-side (zero Exchange, whole-stage codegen)."""
+    from kgforge.queries import q_kgram_fingerprint, q_lang_id
+    for q in (q_lang_id, q_kgram_fingerprint):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, plan
+        # all JVM-side: no Python eval anywhere in the plan (the
+        # higher-order-function projections themselves are interpreted,
+        # which is why each non-cheap producer must appear exactly once —
+        # pinned by the two-step select shape)
+        assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_ivf_probe_join_broadcasts_query_side(spark):
+    """IVF candidate generation: the exploded query-probe side is tiny
+    (n_queries * n_probe rows) and must broadcast — a sort-merge join here
+    would shuffle the whole corpus by centroid_id for nothing."""
+    from kgforge.queries import q_embedding_ivf_topk
+    plan = _plan(q_embedding_ivf_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

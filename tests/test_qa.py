@@ -4,10 +4,8 @@ the reference's QA integration tests with scores under the stand-in head)."""
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from kgforge.qa import (
-    StandInQAHead,
     _decode,
     generate_qa_features,
     predict_qa,

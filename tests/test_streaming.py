@@ -5,14 +5,12 @@ from __future__ import annotations
 
 import os
 
-import pytest
-from pyspark.sql import functions as F
 
 from kgforge import schemas
 from kgforge.config import PipelineConfig
 from kgforge.streaming import (page_rates_windowed, read_page_stream,
                                run_triples_stream)
-from kgforge.synth import alias_rows, gen_pages
+from kgforge.synth import gen_pages
 
 
 def _write_pages(spark, path, lo, hi):

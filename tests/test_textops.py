@@ -4,12 +4,10 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
-import pytest
 
 from kgforge.config import PipelineConfig
 from kgforge.encoders import StandInSeqClassifier, softmax
-from kgforge.keywords import STOPWORDS, candidates_with_offsets, extract_keywords
+from kgforge.keywords import candidates_with_offsets, extract_keywords
 from kgforge.ner import predict_pos
 from kgforge.textops import (
     h32,
