@@ -336,6 +336,59 @@ WHERE a.doc_id < b.doc_id AND a.lang = b.lang
 """
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING + canonical-keeper selection: connected
+    components over the banded-Jaccard pair graph (the same distributed
+    large-star/small-star CC that canonicalizes KG entities — stage 5),
+    cluster id = min doc_id in the component, keeper = the min. Docs in no
+    pair are their own singleton cluster. The DuckDB oracle recomputes the
+    components via a recursive-CTE transitive closure, making the
+    distributed CC value-exact-gated end-to-end. At 100 TB: pairs are
+    band-blocked (never all-pairs), CC is O(log n) shuffle rounds, and the
+    final join is doc_id-keyed."""
+    from .canon import connected_components
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 12, "0")  # lex order == numeric
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    mapped = connected_components(edges).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"))
+    return (
+        _docs(spark, sf_dir).select("doc_id")
+        .join(mapped, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+# the pair CTE reuses the exact banded-Jaccard oracle; the recursive CTE
+# closes it transitively (tiny per-cluster closures — pairs are blocked)
+SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD_PAIRS}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a WHERE e.b <> r.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint: min/max word hash + distinct word count."""
     words = F.array_distinct(
@@ -1656,6 +1709,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "kgram_fingerprint": q_kgram_fingerprint,
+    "neardup_clusters": q_neardup_clusters,
     # model-stage ops with SQL-exact heads
     "pos_tags": q_pos_tags,
     "sentiment": q_sentiment,
@@ -1710,6 +1764,7 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "kgram_fingerprint": _sql_kgram_fingerprint(),
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "pos_tags": _sql_pos_tags(),
     "sentiment": _sql_sentiment(),
     "simhash": _sql_simhash(),
