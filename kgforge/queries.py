@@ -53,9 +53,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # BPE-ish pre-tokenization regex (letter runs | digit runs | single
-# punctuation): the same class structure GPT-2-style pre-tokenizers use,
-# restricted to constructs Java regex and RE2 evaluate identically
-_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# punctuation): the same class structure GPT-2-style pre-tokenizers use.
+# Whitespace is an EXPLICIT class, not \s: Java \s includes U+000B but
+# RE2's does not, so \s here would silently break value-exactness on
+# vertical-tab input
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def q_doc_token_count(spark, sf_dir):
@@ -77,7 +79,7 @@ def q_doc_token_count(spark, sf_dir):
 SQL_DOC_TOKEN_COUNT = f"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
-       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_subtok,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_subtok,
        length(text) AS n_chars_actual
 FROM documents
 """
@@ -349,11 +351,18 @@ def q_neardup_clusters(spark, sf_dir):
     from .canon import connected_components
 
     def pad(c):
-        return F.lpad(F.col(c).cast("string"), 12, "0")  # lex order == numeric
+        # 20 digits: lex order == numeric for the FULL int64 range (lpad
+        # TRUNCATES strings longer than its len — 12 would corrupt node
+        # identity above 10^12 ids, exactly the 100 TB regime)
+        return F.lpad(F.col(c).cast("string"), 20, "0")
 
     pairs = q_ngram_jaccard_pairs(spark, sf_dir)
     edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
-    mapped = connected_components(edges).select(
+    # materialize=True: CC localCheckpoints each round (eager jobs run at
+    # frame-construction time, inherent to the iterative design); with it
+    # the retired iteration state is freed and only the bounded final
+    # mapping (one row per paired doc) stays pinned for the session
+    mapped = connected_components(edges, materialize=True).select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_id"))
     return (
@@ -795,27 +804,35 @@ def q_embedding_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
                                   .orderBy("vec_id").collect()])
     cents = kmeans_fit(train, n_centroids, seed=42)
 
-    def assign_gen(batches):
-        for pdf in batches:
-            vecs = np.array([np.asarray(v, dtype=np.float64)
-                             for v in pdf["embedding"]])
-            probes = (ivf_assign(vecs, cents, n_probe).astype("int64")
-                      if len(vecs) else np.zeros((0, n_probe), dtype="int64"))
-            yield pd.DataFrame({"vec_id": pdf["vec_id"],
-                                "embedding": pdf["embedding"],
-                                "probes": list(probes)})
+    def assign_gen(probes_per_row):
+        def gen(batches):
+            for pdf in batches:
+                vecs = np.array([np.asarray(v, dtype=np.float64)
+                                 for v in pdf["embedding"]])
+                probes = (ivf_assign(vecs, cents, probes_per_row)
+                          .astype("int64") if len(vecs)
+                          else np.zeros((0, probes_per_row), dtype="int64"))
+                yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                    "embedding": pdf["embedding"],
+                                    "probes": list(probes)})
+        return gen
 
     sig_schema = StructType([
         StructField("vec_id", LongType()),
         StructField("embedding", ArrayType(FloatType())),
         StructField("probes", ArrayType(LongType())),
     ])
-    assigned = emb.mapInPandas(assign_gen, schema=sig_schema)
-    # corpus side: first probe = the vector's own inverted list
-    c = assigned.select(F.col("vec_id").alias("corpus_id"),
-                        F.col("embedding").alias("cv"),
-                        F.element_at("probes", 1).alias("centroid_id"))
-    q = (assigned.where(F.col("vec_id") < n_queries)
+    # corpus side: ONE full Arrow pass, one probe = the vector's own
+    # inverted list. Query side: a separate tiny pass over the
+    # pushdown-filtered scan — a vec_id filter cannot push through
+    # MapInPandas, so filtering AFTER one shared pass would re-execute the
+    # full-corpus assignment just to keep n_queries rows.
+    c = (emb.mapInPandas(assign_gen(1), schema=sig_schema)
+         .select(F.col("vec_id").alias("corpus_id"),
+                 F.col("embedding").alias("cv"),
+                 F.element_at("probes", 1).alias("centroid_id")))
+    q = (emb.where(F.col("vec_id") < n_queries)
+         .mapInPandas(assign_gen(n_probe), schema=sig_schema)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv"),
                  F.explode("probes").alias("centroid_id")))

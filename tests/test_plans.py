@@ -150,3 +150,7 @@ def test_ivf_probe_join_broadcasts_query_side(spark):
     plan = _plan(q_embedding_ivf_topk(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the query side must be its own pushdown-filtered scan + tiny Arrow
+    # pass — a vec_id filter cannot push through MapInPandas, so a shared
+    # full-corpus assignment would run TWICE (once per join side)
+    assert "LessThan(vec_id,5)" in plan, plan
