@@ -468,6 +468,39 @@ FROM h
 """
 
 
+def q_kgram_cardinality_sketch(spark, sf_dir):
+    """Distinct-cardinality SKETCHES (Apache DataSketches HLL, built into
+    Spark 3.5+): per-lang distinct character-8-gram-hash estimates, plus an
+    'ALL' row whose estimate comes from hll_union_agg over the per-lang
+    sketches — the 100 TB pattern: sketch each partition/group once, merge
+    commutatively without rescanning, never hold exact distinct state.
+    exact_distinct is computed alongside so the estimate's error is
+    self-documenting (pytest gates the relative error; estimates are
+    deterministic and merge-order-invariant, so the golden digest pins
+    values). Approximate by design -> no SQL oracle (DuckDB's approx HLL
+    is a different implementation)."""
+    from .textops import kgram_fingerprint_sql
+
+    hs = kgram_fingerprint_sql("lower(text)", "spark")
+    g = (_docs(spark, sf_dir)
+         .select("lang", F.expr(hs).alias("hs"))
+         .select("lang", F.explode("hs").alias("h")))
+    per = (g.groupBy("lang")
+           .agg(F.hll_sketch_agg("h", F.lit(12)).alias("sk"),
+                F.count_distinct("h").alias("exact_distinct")))
+    per_rows = per.select(
+        "lang",
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        "exact_distinct")
+    total_exact = g.agg(F.count_distinct("h").alias("exact_distinct"))
+    total_row = (per.agg(F.hll_sketch_estimate(
+                     F.hll_union_agg("sk")).alias("approx_distinct"))
+                 .crossJoin(total_exact)
+                 .select(F.lit("ALL").alias("lang"),
+                         "approx_distinct", "exact_distinct"))
+    return per_rows.unionByName(total_row)
+
+
 def q_pos_tags(spark, sf_dir):
     """POS tagging: the rule head is exactly expressible in SQL, so this
     'model' stage gets a full-value oracle (reference machinery:
@@ -1727,6 +1760,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "kgram_fingerprint": q_kgram_fingerprint,
     "neardup_clusters": q_neardup_clusters,
+    "kgram_cardinality_sketch": q_kgram_cardinality_sketch,  # approx; rows-only
     # model-stage ops with SQL-exact heads
     "pos_tags": q_pos_tags,
     "sentiment": q_sentiment,

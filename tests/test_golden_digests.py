@@ -36,6 +36,7 @@ GOLDEN = [
     ("kg_doc_embeddings", "4f1c2a9a2d93ab21b6eeb40a4ba10a74", 500),
     ("embedding_ann_topk", "5d149b1c468482ea44716dda1242fd61", 25),
     ("embedding_ivf_topk", "3707f1b0a87af26e2a2d1f853ba23358", 25),
+    ("kgram_cardinality_sketch", "f45c178e3ea11e1c99ab4db803c34619", 6),
     ("keywords_mmr", "b7fd8dbeeccc683fd0536d9bf2ab7508", 600),
     ("kg_entities", "4f20b5679d0b6ea924c0f1cc6fe3027f", 2430),
     ("kg_linked", "618ee191cb4b83c411404d06a56d63c6", 2430),

@@ -83,6 +83,7 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     assert set(qs) - set(oracles) == {
         "kg_triples", "kg_entities", "kg_linked", "kg_doc_embeddings",
         "kg_zero_shot", "embedding_ann_topk", "embedding_ivf_topk",
+        "kgram_cardinality_sketch",
         "gen_greedy", "summarize_beam", "translate_m2m",
         "seq_classify", "masked_fill", "qa_extractive",
         "media_image_features", "media_audio_stats", "media_video_frames",
@@ -134,3 +135,22 @@ def test_lang_id_accuracy_on_real_language_snippets(spark, tmp_path):
            for r in q_lang_id(spark, sf_dir).collect()}
     want = {i: lang for i, _, lang in snippets}
     assert got == want
+
+
+def test_kgram_cardinality_sketch_error_bound(spark):
+    """HLL lgK=12 promises ~1.6% relative standard error; gate every row
+    (per-lang AND the sketch-union 'ALL' row) at 3%, and the union row must
+    dominate every per-lang cardinality."""
+    from kgforge.queries import q_kgram_cardinality_sketch
+
+    rows = q_kgram_cardinality_sketch(spark, SF_DIR).collect()
+    assert {r["lang"] for r in rows} >= {"ALL", "en"}
+    per_lang_max = 0
+    for r in rows:
+        err = abs(r["approx_distinct"] - r["exact_distinct"]) \
+            / max(r["exact_distinct"], 1)
+        assert err <= 0.03, (r["lang"], err)
+        if r["lang"] != "ALL":
+            per_lang_max = max(per_lang_max, r["approx_distinct"])
+    all_row = next(r for r in rows if r["lang"] == "ALL")
+    assert all_row["approx_distinct"] >= per_lang_max
