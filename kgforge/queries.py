@@ -1335,6 +1335,35 @@ def q_translate_m2m(spark, sf_dir):
 # relational-operator inventory (SURVEY §2.3) over the TPC-H-ish tables
 # --------------------------------------------------------------------------
 
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column
+    (get_json_object — JVM-side, no Python) and roll up the extracted
+    field per event_type. Exact-int aggregates -> value-exact oracle via
+    DuckDB's json_extract. At scale this is scan + map-side extract + one
+    agg shuffle; the JSON never leaves the JVM."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+SQL_JSON_PROPS_ROLLUP = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-k per group (reference QA top-k answers pattern)."""
     from pyspark.sql import Window
@@ -1788,6 +1817,7 @@ QUERIES = {
     "summarize_beam": q_summarize_beam,
     "translate_m2m": q_translate_m2m,
     # relational inventory
+    "json_props_rollup": q_json_props_rollup,
     "topk_per_group": q_topk_per_group,
     "share_in_group": q_share_in_group,
     "product_agg": q_product_agg,
@@ -1822,6 +1852,7 @@ ORACLES = {
     "keywords_freq": _sql_keywords_freq(),
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "share_in_group": SQL_SHARE_IN_GROUP,
     "product_agg": SQL_PRODUCT_AGG,
