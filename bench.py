@@ -115,7 +115,7 @@ def run_default(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
 
     per_query: dict[str, float] = {}
     extra: dict[str, object] = {"cpus": cpus, "sf_dir": sf_dir,
-                                "best_of": repeats, "samples": {},
+                                "best_of": {}, "samples": {},
                                 "warmup_sec": warmup_sec}
     total = 0.0
     for name in HEADLINE:
@@ -127,6 +127,7 @@ def run_default(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
         # sub-second extra run is free insurance; the kg pipeline stays at
         # best-of-2 (each sample is many seconds of real work)
         n_rep = repeats if name == "kg_triples" else max(repeats, 3)
+        extra["best_of"][name] = n_rep
         for _ in range(n_rep):
             t0 = time.time()
             n = fn(spark, sf_dir).count()

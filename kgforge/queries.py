@@ -78,7 +78,7 @@ def q_doc_token_count(spark, sf_dir):
 
 SQL_DOC_TOKEN_COUNT = f"""
 SELECT doc_id,
-       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_tok,
        CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_subtok,
        length(text) AS n_chars_actual
 FROM documents
@@ -351,9 +351,12 @@ def q_neardup_clusters(spark, sf_dir):
     from .canon import connected_components
 
     def pad(c):
-        # 20 digits: lex order == numeric for the FULL int64 range (lpad
-        # TRUNCATES strings longer than its len — 12 would corrupt node
-        # identity above 10^12 ids, exactly the 100 TB regime)
+        # 20 digits: lex order == numeric for every NON-NEGATIVE int64
+        # (lpad TRUNCATES longer strings — 12 would corrupt node identity
+        # above 10^12 ids). Non-negativity is the documents contract
+        # (doc_id is a row index); hash-derived ids (which can be
+        # negative, where '-' breaks lexicographic order) would need an
+        # order-preserving encoding such as offsetting by 2^63 first.
         return F.lpad(F.col(c).cast("string"), 20, "0")
 
     pairs = q_ngram_jaccard_pairs(spark, sf_dir)
@@ -482,6 +485,17 @@ def q_kgram_cardinality_sketch(spark, sf_dir):
     from .textops import kgram_fingerprint_sql
 
     hs = kgram_fingerprint_sql("lower(text)", "spark")
+    # The scan+explode runs once per agg branch (per-lang and global
+    # exact). Deliberate: pre-deduplicating (lang, h) into a shared
+    # exchange WOULD collapse both branches onto one heavy pass, but the
+    # dedup exchange's partitioning follows spark.sql.shuffle.partitions,
+    # which changes the sketch partial-merge structure and shifts HLL
+    # estimates by a few counts per config — breaking the pinned-digest
+    # parallelism invariance (measured). Map-side partials of a direct
+    # groupBy follow the (config-independent) scan splits instead. The
+    # exact_distinct column is self-documentation for the estimate's
+    # error; a corpus-scale run keeps only the sketch branch and the
+    # second pass disappears with it.
     g = (_docs(spark, sf_dir)
          .select("lang", F.expr(hs).alias("hs"))
          .select("lang", F.explode("hs").alias("h")))
