@@ -1378,6 +1378,92 @@ GROUP BY event_type
 """
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-sequence funnel over the event stream: per user, the first
+    'view', the first 'click' within 24 hours after it, the first 'purchase'
+    within 24 hours after that; emit users-reaching-stage counts. Timestamp
+    arithmetic is microsecond-exact in both engines, so the three-phase
+    plan (agg -> rejoin -> agg, the standard funnel shape — each phase one
+    keyed shuffle) is value-exact across engines."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev, etype, alias):
+        base = ev.join(prev, "user_id") if prev is not None else ev
+        cond = F.col("event_type") == etype
+        if prev is not None:
+            pcol = F.col(prev.columns[1])
+            cond = (cond & (F.col("ts") > pcol)
+                    & (F.col("ts") <= pcol + F.expr("INTERVAL 24 HOUR")))
+        return (base.where(cond)
+                .groupBy("user_id").agg(F.min("ts").alias(alias)))
+
+    t1 = first_after(None, "view", "t_view")
+    t2 = first_after(t1, "click", "t_click")
+    t3 = first_after(t2, "purchase", "t_purchase")
+    rows = None
+    for stage, frame in (("1_view", t1), ("2_click", t2), ("3_purchase", t3)):
+        r = frame.agg(F.lit(stage).alias("stage"),
+                      F.count(F.lit(1)).alias("n_users"))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+    AND e.ts <= t1.t_view + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+    AND e.ts <= t2.t_click + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+UNION ALL SELECT '2_click', count(*) FROM t2
+UNION ALL SELECT '3_purchase', count(*) FROM t3
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling — the corpus
+    subsampling primitive (train/holdout splits, per-language quotas)
+    that must be reproducible across runs AND engines: keep a doc when
+    the first 4 hex chars of md5(doc_id) fall under a per-lang threshold.
+    No RNG state, no ordering dependence; at 100 TB this is a map-side
+    filter on the scan. Exact string/int math -> SQL oracle."""
+    frac_hex = {"en": "28f5", "de": "51eb", "es": "51eb",
+                "fr": "51eb", "zh": "51eb"}   # ~16% en, ~32% others
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.coalesce(
+        *[F.when(F.col("lang") == lg, F.lit(hx)) for lg, hx in frac_hex.items()])
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", bucket.alias("bucket"), thresh.alias("thresh"))
+        .where(F.col("bucket") < F.col("thresh"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def _sql_stratified_sample():
+    cases = " ".join(
+        f"WHEN '{lg}' THEN '{hx}'" for lg, hx in
+        (("en", "28f5"), ("de", "51eb"), ("es", "51eb"),
+         ("fr", "51eb"), ("zh", "51eb")))
+    return f"""
+SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE lang {cases} END
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-k per group (reference QA top-k answers pattern)."""
     from pyspark.sql import Window
@@ -1832,6 +1918,8 @@ QUERIES = {
     "translate_m2m": q_translate_m2m,
     # relational inventory
     "json_props_rollup": q_json_props_rollup,
+    "funnel_conversion": q_funnel_conversion,
+    "stratified_sample": q_stratified_sample,
     "topk_per_group": q_topk_per_group,
     "share_in_group": q_share_in_group,
     "product_agg": q_product_agg,
@@ -1867,6 +1955,8 @@ ORACLES = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "stratified_sample": _sql_stratified_sample(),
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "share_in_group": SQL_SHARE_IN_GROUP,
     "product_agg": SQL_PRODUCT_AGG,
