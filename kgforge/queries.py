@@ -1387,19 +1387,19 @@ def q_funnel_conversion(spark, sf_dir):
     keyed shuffle) is value-exact across engines."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
-    def first_after(prev, etype, alias):
+    def first_after(prev, prev_alias, etype, alias):
         base = ev.join(prev, "user_id") if prev is not None else ev
         cond = F.col("event_type") == etype
         if prev is not None:
-            pcol = F.col(prev.columns[1])
+            pcol = F.col(prev_alias)
             cond = (cond & (F.col("ts") > pcol)
                     & (F.col("ts") <= pcol + F.expr("INTERVAL 24 HOUR")))
         return (base.where(cond)
                 .groupBy("user_id").agg(F.min("ts").alias(alias)))
 
-    t1 = first_after(None, "view", "t_view")
-    t2 = first_after(t1, "click", "t_click")
-    t3 = first_after(t2, "purchase", "t_purchase")
+    t1 = first_after(None, None, "view", "t_view")
+    t2 = first_after(t1, "t_view", "click", "t_click")
+    t3 = first_after(t2, "t_click", "purchase", "t_purchase")
     rows = None
     for stage, frame in (("1_view", t1), ("2_click", t2), ("3_purchase", t3)):
         r = frame.agg(F.lit(stage).alias("stage"),
@@ -1431,6 +1431,12 @@ UNION ALL SELECT '3_purchase', count(*) FROM t3
 """
 
 
+# per-lang sampling thresholds (first 4 md5 hex chars): ~16% en, ~32%
+# others — ONE source for both the Spark plan and the DuckDB oracle
+SAMPLE_FRAC_HEX = {"en": "28f5", "de": "51eb", "es": "51eb",
+                   "fr": "51eb", "zh": "51eb"}
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic hash-based stratified sampling — the corpus
     subsampling primitive (train/holdout splits, per-language quotas)
@@ -1438,11 +1444,10 @@ def q_stratified_sample(spark, sf_dir):
     the first 4 hex chars of md5(doc_id) fall under a per-lang threshold.
     No RNG state, no ordering dependence; at 100 TB this is a map-side
     filter on the scan. Exact string/int math -> SQL oracle."""
-    frac_hex = {"en": "28f5", "de": "51eb", "es": "51eb",
-                "fr": "51eb", "zh": "51eb"}   # ~16% en, ~32% others
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     thresh = F.coalesce(
-        *[F.when(F.col("lang") == lg, F.lit(hx)) for lg, hx in frac_hex.items()])
+        *[F.when(F.col("lang") == lg, F.lit(hx))
+          for lg, hx in SAMPLE_FRAC_HEX.items()])
     return (
         _docs(spark, sf_dir)
         .select("doc_id", "lang", bucket.alias("bucket"), thresh.alias("thresh"))
@@ -1452,10 +1457,8 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def _sql_stratified_sample():
-    cases = " ".join(
-        f"WHEN '{lg}' THEN '{hx}'" for lg, hx in
-        (("en", "28f5"), ("de", "51eb"), ("es", "51eb"),
-         ("fr", "51eb"), ("zh", "51eb")))
+    cases = " ".join(f"WHEN '{lg}' THEN '{hx}'"
+                     for lg, hx in SAMPLE_FRAC_HEX.items())
     return f"""
 SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
 FROM documents
