@@ -1467,6 +1467,73 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
 """
 
 
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot long -> wide: per-user event counts as one column per event
+    type (explicit value list so the schema is static — the form that
+    avoids Spark's extra distinct-values job and is 100 TB-safe: one agg
+    shuffle, map-side partials). Oracle: conditional aggregation."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select("user_id",
+                *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                  for t in types])
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_exact_median(spark, sf_dir):
+    """Exact per-group median WITHOUT percentile interpolation (engines
+    disagree on interpolation variants): sort-rank the values, average
+    the one or two middle elements — (a+b)/2 is the same IEEE operation
+    in both engines, so the result is value-exact. One window shuffle on
+    the group key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (_t(spark, sf_dir, "events")
+              .select("event_type", "value", "event_id")
+              .withColumn("rn", F.row_number().over(w)))
+    counts = (ranked.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    mid = (ranked.join(counts, "event_type")
+           .where(F.expr("rn = (n + 1) div 2 OR rn = n div 2 + 1")))
+    return (mid.groupBy("event_type")
+            .agg(F.avg("value").alias("median_value"),
+                 F.first("n").alias("n_events")))
+
+
+SQL_EXACT_MEDIAN = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       avg(value) AS median_value,
+       CAST(min(n) AS BIGINT) AS n_events
+FROM ranked
+WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+GROUP BY event_type
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-k per group (reference QA top-k answers pattern)."""
     from pyspark.sql import Window
@@ -1923,6 +1990,8 @@ QUERIES = {
     "json_props_rollup": q_json_props_rollup,
     "funnel_conversion": q_funnel_conversion,
     "stratified_sample": q_stratified_sample,
+    "pivot_event_counts": q_pivot_event_counts,
+    "exact_median": q_exact_median,
     "topk_per_group": q_topk_per_group,
     "share_in_group": q_share_in_group,
     "product_agg": q_product_agg,
@@ -1960,6 +2029,8 @@ ORACLES = {
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "stratified_sample": _sql_stratified_sample(),
+    "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
+    "exact_median": SQL_EXACT_MEDIAN,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "share_in_group": SQL_SHARE_IN_GROUP,
     "product_agg": SQL_PRODUCT_AGG,
