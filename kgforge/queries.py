@@ -1469,18 +1469,18 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
 
 def q_pivot_event_counts(spark, sf_dir):
     """Pivot long -> wide: per-user event counts as one column per event
-    type (explicit value list so the schema is static — the form that
-    avoids Spark's extra distinct-values job and is 100 TB-safe: one agg
-    shuffle, map-side partials). Oracle: conditional aggregation."""
+    type, via conditional aggregation with a static column list. NOT
+    DataFrame.pivot(): even with explicit values, Spark's pivot plans
+    groupBy(user,type) + pivotfirst(user) — TWO shuffles (verified); the
+    conditional-agg form is ONE agg shuffle with map-side partials
+    (plan-contract-pinned), which is the 100 TB shape. Oracle mirrors it
+    with count FILTER."""
     types = ["click", "error", "purchase", "signup", "view"]
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
-        .pivot("event_type", types)
-        .count()
-        .select("user_id",
-                *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
-                  for t in types])
+        .agg(*[F.count(F.when(F.col("event_type") == t, F.lit(1)))
+               .alias(f"n_{t}") for t in types])
     )
 
 

@@ -167,3 +167,30 @@ def test_ivf_distributed_recall_on_clustered_embeddings(spark, tmp_path):
         hits += len(set(want) & by_q.get(qi, set()))
         total += len(want)
     assert hits / total >= 0.8, (hits, total)
+
+
+def test_ivf_assign_properties():
+    """Properties: probes are always valid distinct centroid ids in
+    best-first order, and assignment is scale-invariant (cosine ignores
+    vector magnitude)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from kgforge.ann import ivf_assign, kmeans_fit
+
+    corpus = _corpus(120, d=16, seed=5)
+    cents = kmeans_fit(corpus, 8, seed=42)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 119), st.floats(0.1, 100.0))
+    def check(i, scale):
+        v = corpus[i:i + 1]
+        p1 = ivf_assign(v, cents, 3)[0]
+        p2 = ivf_assign(v * scale, cents, 3)[0]
+        assert p1.tolist() == p2.tolist()          # magnitude-invariant
+        assert len(set(p1.tolist())) == 3          # distinct
+        assert all(0 <= c < 8 for c in p1)
+        sims = (v / np.linalg.norm(v)) @ cents.T
+        assert sims[0, p1[0]] >= sims[0, p1[1]] >= sims[0, p1[2]] - 1e-12
+
+    check()

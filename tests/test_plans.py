@@ -154,3 +154,20 @@ def test_ivf_probe_join_broadcasts_query_side(spark):
     # pass — a vec_id filter cannot push through MapInPandas, so a shared
     # full-corpus assignment would run TWICE (once per join side)
     assert "LessThan(vec_id,5)" in plan, plan
+
+
+def test_pivot_is_single_shuffle(spark):
+    """Wide-format per-user counts must be ONE agg shuffle (conditional
+    aggregation), not DataFrame.pivot()'s groupBy(user,type)+pivotfirst
+    two-shuffle plan."""
+    import re
+    from kgforge.queries import q_pivot_event_counts
+    plan = _plan(q_pivot_event_counts(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_stratified_sample_is_map_side_only(spark):
+    """Deterministic sampling is a filter on the scan: zero Exchange."""
+    from kgforge.queries import q_stratified_sample
+    plan = _plan(q_stratified_sample(spark, SF))
+    assert "Exchange" not in plan, plan

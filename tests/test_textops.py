@@ -137,3 +137,21 @@ def test_kgram_rolling_hash_equals_naive():
     t = "rolling hash windows"
     lo = t.lower()
     assert kgram_hashes(t, 4) == [h32(lo[i:i + 4]) for i in range(len(lo) - 3)]
+
+
+def test_kgram_rolling_hash_property():
+    """Property: for ANY text and window size, the O(1) rolling recurrence
+    equals the independent per-gram polynomial hash."""
+    from hypothesis import given, settings, strategies as st
+
+    from kgforge.textops import h32, kgram_hashes
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=80), st.integers(2, 12))
+    def check(t, k):
+        lo = t.lower()
+        naive = ([h32(lo[i:i + k]) for i in range(len(lo) - k + 1)]
+                 if len(lo) >= k else [])
+        assert kgram_hashes(t, k) == naive
+
+    check()
