@@ -29,19 +29,18 @@ class PipelineConfig:
     max_pair_distance: int = 200    # max char distance subj..obj within a sentence
     # --- stage 4 (linking) ---
     embedding_dim: int = 64
-    ann_block_prefix: int = 1       # chars of normalized name used as block key
-    ann_top_k: int = 1
     # --- skew handling ---
-    # (hot-domain skew needs no salt knob: every wide exchange keys on a
-    # uniform hash — xxhash64(url, sent_idx) for the model stage,
-    # pmod(xxhash64(url), B) for the write — and AQE skew-join covers joins)
-    length_bucket_base: int = 2     # bucket = ceil(log2(n_tokens)) base
+    # no knobs: hot-domain skew is neutralized by keying every wide
+    # exchange on a uniform hash (xxhash64(url, sent_idx) for the model
+    # stage, pmod(xxhash64(url), B) for the write) with an IN-PARTITION
+    # length sort for batch homogeneity (pipeline.repartition_by_length);
+    # AQE skew-join covers the remaining joins. Arrow batch sizing lives
+    # on the Spark session (bench.py / cli.py), not here.
     # --- model identity (lineage) ---
     model_name: str = "standin-v1"
     seed: int = 42
     # --- execution ---
     shuffle_partitions: int = 32
-    arrow_max_records: int = 2048
 
     @property
     def doc_stride(self) -> int:
