@@ -154,3 +154,23 @@ def test_kgram_cardinality_sketch_error_bound(spark):
             per_lang_max = max(per_lang_max, r["approx_distinct"])
     all_row = next(r for r in rows if r["lang"] == "ALL")
     assert all_row["approx_distinct"] >= per_lang_max
+
+
+def test_neardup_clusters_with_no_pairs(spark, tmp_path):
+    """Edge: a corpus with no near-duplicate pairs sends ZERO edges into
+    connected_components — every doc must come back as its own singleton
+    keeper (exercises CC's empty-edge convergence path end-to-end)."""
+    import pandas as pd
+    from kgforge.queries import q_neardup_clusters
+
+    pdf = pd.DataFrame([
+        {"doc_id": i, "text": t, "lang": "en", "source": "t", "n_chars": len(t)}
+        for i, t in enumerate([
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+            "red orange yellow green blue indigo",
+        ])])
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in q_neardup_clusters(spark, str(tmp_path)).collect()}
+    assert rows == {0: (0, True), 1: (1, True), 2: (2, True)}
