@@ -174,3 +174,35 @@ def test_neardup_clusters_with_no_pairs(spark, tmp_path):
     rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
             for r in q_neardup_clusters(spark, str(tmp_path)).collect()}
     assert rows == {0: (0, True), 1: (1, True), 2: (2, True)}
+
+
+def test_new_event_queries_on_degenerate_events(spark, tmp_path):
+    """Edges for the event-analytics family: no 'view' events (funnel all
+    zeros), a single-event type (median of one), and event types absent
+    from the pivot list (zero columns stay zero)."""
+    import pandas as pd
+    from kgforge.queries import (q_exact_median, q_funnel_conversion,
+                                 q_pivot_event_counts)
+
+    ev = pd.DataFrame([
+        {"event_id": 0, "ts": pd.Timestamp("2024-01-01 00:00:00"),
+         "user_id": 1, "event_type": "error", "value": 5.0, "props": '{"k": 1}'},
+        {"event_id": 1, "ts": pd.Timestamp("2024-01-01 01:00:00"),
+         "user_id": 1, "event_type": "signup", "value": 7.5, "props": '{"k": 2}'},
+    ])
+    # Spark cannot read parquet TIMESTAMP(NANOS) — write microseconds
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(f"{tmp_path}/events.parquet")
+    sf = str(tmp_path)
+
+    funnel = {r["stage"]: r["n_users"]
+              for r in q_funnel_conversion(spark, sf).collect()}
+    assert funnel == {"1_view": 0, "2_click": 0, "3_purchase": 0}
+
+    med = {r["event_type"]: (r["median_value"], r["n_events"])
+           for r in q_exact_median(spark, sf).collect()}
+    assert med == {"error": (5.0, 1), "signup": (7.5, 1)}
+
+    piv = {r["user_id"]: (r["n_click"], r["n_error"], r["n_signup"], r["n_view"])
+           for r in q_pivot_event_counts(spark, sf).collect()}
+    assert piv == {1: (0, 1, 1, 0)}
