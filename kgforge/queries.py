@@ -1505,16 +1505,15 @@ def q_exact_median(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = (_t(spark, sf_dir, "events")
-              .select("event_type", "value", "event_id")
-              .withColumn("rn", F.row_number().over(w)))
-    counts = (ranked.groupBy("event_type")
-              .agg(F.count(F.lit(1)).alias("n")))
-    mid = (ranked.join(counts, "event_type")
+    wc = Window.partitionBy("event_type")   # unordered: count over the group
+    mid = (_t(spark, sf_dir, "events")
+           .select("event_type", "value", "event_id")
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("n", F.count(F.lit(1)).over(wc))
            .where(F.expr("rn = (n + 1) div 2 OR rn = n div 2 + 1")))
     return (mid.groupBy("event_type")
             .agg(F.avg("value").alias("median_value"),
-                 F.first("n").alias("n_events")))
+                 F.min("n").alias("n_events")))
 
 
 SQL_EXACT_MEDIAN = """

@@ -171,3 +171,14 @@ def test_stratified_sample_is_map_side_only(spark):
     from kgforge.queries import q_stratified_sample
     plan = _plan(q_stratified_sample(spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_exact_median_is_single_scan_single_shuffle(spark):
+    """The window count must reuse the row_number partitioning: one scan,
+    one Exchange, no join (a groupBy+rejoin count would double the scan)."""
+    import re
+    from kgforge.queries import q_exact_median
+    plan = _plan(q_exact_median(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
