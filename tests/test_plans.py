@@ -179,6 +179,6 @@ def test_exact_median_is_single_scan_single_shuffle(spark):
     import re
     from kgforge.queries import q_exact_median
     plan = _plan(q_exact_median(spark, SF))
-    assert plan.count("Scan parquet") == 1, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "Join" not in plan, plan
