@@ -344,25 +344,29 @@ def pool_token_embeddings(token_embeddings: np.ndarray,
     return np.concatenate(outs, axis=1)
 
 
+import math as _math
+
+# numpy lacks erf and scipy is absent; a module-level vectorized math.erf
+# avoids re-building the ufunc per Arrow batch on the executor hot path
+# (np.vectorize is still a per-element Python loop — the gelu stand-in is
+# not vectorized-C speed; a real deployment would ship scipy.special.erf)
+_erf = np.vectorize(_math.erf)
+
 # activation registry — port of Activation::get_function
-# (common/activations.rs:5-30,69-84); same closed set of names
+# (common/activations.rs:5-30,69-84); same closed set of names.
+# mish uses the overflow-safe softplus (logaddexp(0,x) == log1p(exp(x))
+# without the large-|x| exp overflow warning); swish's exp(-x) only
+# overflows toward x->-inf where the result correctly underflows to 0.
 ACTIVATIONS = {
     "gelu": lambda x: x * 0.5 * (1.0 + _erf(x / np.sqrt(2.0))),
     "relu": lambda x: np.maximum(x, 0.0),
     "swish": lambda x: x / (1.0 + np.exp(-x)),
-    "mish": lambda x: x * np.tanh(np.log1p(np.exp(x))),
+    "mish": lambda x: x * np.tanh(np.logaddexp(0.0, x)),
     "gelu_new": lambda x: x * 0.5 * (np.tanh(
         (x ** 3 * 0.044715 + x) * np.sqrt(2.0 / np.pi)) + 1.0),
     "tanh": np.tanh,
     "identity": lambda x: x,
 }
-
-
-import math as _math
-
-# numpy lacks erf and scipy is absent; a module-level vectorized math.erf
-# avoids re-building the ufunc per Arrow batch on the executor hot path
-_erf = np.vectorize(_math.erf)
 
 
 class DenseLayer:

@@ -59,6 +59,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # vertical-tab input
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
+# explicit whitespace class for cross-engine splits (same reasoning as
+# _BPE_RE): Java's \s includes U+000B, RE2's does not, so \s+ silently
+# diverges on vertical-tab input. Both Java regex and RE2 parse these
+# escapes identically. The older \s+ queries predate this constant and are
+# value-exact on the VT-free synthetic corpus; new splits should use this.
+_WS_RE = r"[ \t\n\x0B\f\r]+"
+
 
 def q_doc_token_count(spark, sf_dir):
     """Token counting — whitespace tokens AND BPE-ish regex sub-tokens
@@ -168,8 +175,10 @@ def q_lang_id(spark, sf_dir):
     integer hit counts (whole-word for latin scripts, character-occurrence
     for zh), argmax with alphabetical tie-break, 'und' when no marker hits.
     Exact integer math end-to-end -> SQL-oracled. At 100 TB this is one
-    narrow projection + per-row array ops, no shuffle, whole-stage codegen."""
-    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+    narrow projection + per-row array ops, no shuffle, whole-stage codegen.
+    Splits on the explicit _WS_RE class so Spark and the DuckDB oracle
+    tokenize identically even on U+000B input."""
+    words = F.filter(F.split(F.lower(F.col("text")), _WS_RE),
                      lambda x: x != "")
     counts = {}
     for lang, marks in LANG_MARKERS.items():
@@ -212,7 +221,7 @@ def _sql_lang_id() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id, lang, text,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '{_WS_RE}'),
                      x -> x <> '') AS words
   FROM documents
 ), c AS (
@@ -294,22 +303,53 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidate pairs: same-lang docs blocked by shared minhash
     band (mh1), then exact word-set Jaccard (ratio of exact ints).
     Blocking-first is the scale path: the quadratic compare runs only inside
-    buckets, never across the corpus."""
-    words = F.array_distinct(
-        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""))
-    mh = q_minhash_signature(spark, sf_dir).select("doc_id", "mh1")
-    d = (_docs(spark, sf_dir).select("doc_id", "lang", words.alias("ws"))
-         .join(mh, "doc_id"))
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-                 F.col("ws").alias("ws_a"), F.col("mh1").alias("band"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-                 F.col("ws").alias("ws_b"), F.col("mh1").alias("band"))
-    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
+    buckets, never across the corpus.
+
+    Plan shape (pinned in tests/test_plans.py): the band is computed INLINE
+    next to the word set in ONE projection over ONE ``documents`` scan, then
+    docs are grouped by band and the i<j pairs are generated map-side with
+    posexplode + slice — one scan, one Exchange (the band groupBy), no
+    doc_id join and no band self-join.  (The previous shape derived the band
+    from q_minhash_signature's own scan and joined it back on doc_id, then
+    self-joined on band: 2 scans + 2 shuffles of the corpus.)
+
+    Skew note: a hot band holds its bucket in one collect_list row, but any
+    bucket too large to hold is already catastrophic for EVERY blocking
+    scheme (the pair output is quadratic in bucket size); at 100 TB the fix
+    is more bands / longer shingles, not a different join strategy."""
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    # band = mh1 of q_minhash_signature, computed inline (same split feeds
+    # the distinct word set — no second scan).  Filter on size(words) BEFORE
+    # the band projection: pushdown then duplicates only the cheap split,
+    # not the shingle/md5 chain (a band-isNotNull filter would).
+    band = F.array_min(F.transform(
+        F.transform(F.sequence(F.lit(0), F.size("words") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("words", i + 1, 3))),
+        lambda s: F.md5(F.concat(F.lit(_MINHASH_SEEDS[0]), F.lit("|"), s))))
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", "lang", words.alias("words"))
+         .where(F.size("words") >= 3)
+         .select("doc_id", "lang", F.array_distinct("words").alias("ws"),
+                 band.alias("band")))
+    bucket = (d.groupBy("band")
+              .agg(F.collect_list(F.struct("doc_id", "lang", "ws")).alias("docs"))
+              .where(F.size("docs") >= 2))
+    # unordered i<j pairs, generated per bucket without a self-join: for the
+    # element at 0-based position i, partners are the slice starting at
+    # 1-based position i+2 (slice clamps past the end)
+    xy = (bucket
+          .select(F.posexplode("docs").alias("i", "x"), F.col("docs"))
+          .select("x", F.explode(
+              F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("y")))
+    inter = F.size(F.array_intersect("x.ws", "y.ws")).cast("double")
+    union = F.size(F.array_union("x.ws", "y.ws")).cast("double")
     return (
-        a.join(b, "band")
-        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        xy.where(F.col("x.lang") == F.col("y.lang"))
+        # collect_list order within a bucket is arbitrary: name the pair by
+        # id order (jaccard is symmetric, each unordered pair appears once)
+        .select(F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+                (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= 0.2)
     )
 
@@ -1381,31 +1421,47 @@ GROUP BY event_type
 def q_funnel_conversion(spark, sf_dir):
     """Ordered-sequence funnel over the event stream: per user, the first
     'view', the first 'click' within 24 hours after it, the first 'purchase'
-    within 24 hours after that; emit users-reaching-stage counts. Timestamp
-    arithmetic is microsecond-exact in both engines, so the three-phase
-    plan (agg -> rejoin -> agg, the standard funnel shape — each phase one
-    keyed shuffle) is value-exact across engines."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    within 24 hours after that; emit users-reaching-stage counts.
+    Timestamp arithmetic is microsecond-exact in both engines -> SQL-oracled.
 
-    def first_after(prev, prev_alias, etype, alias):
-        base = ev.join(prev, "user_id") if prev is not None else ev
-        cond = F.col("event_type") == etype
-        if prev is not None:
-            pcol = F.col(prev_alias)
-            cond = (cond & (F.col("ts") > pcol)
-                    & (F.col("ts") <= pcol + F.expr("INTERVAL 24 HOUR")))
-        return (base.where(cond)
-                .groupBy("user_id").agg(F.min("ts").alias(alias)))
-
-    t1 = first_after(None, None, "view", "t_view")
-    t2 = first_after(t1, "t_view", "click", "t_click")
-    t3 = first_after(t2, "t_click", "purchase", "t_purchase")
-    rows = None
-    for stage, frame in (("1_view", t1), ("2_click", t2), ("3_purchase", t3)):
-        r = frame.agg(F.lit(stage).alias("stage"),
-                      F.count(F.lit(1)).alias("n_users"))
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    ONE-PASS plan (pinned in tests/test_plans.py): a single events scan,
+    one user-keyed agg shuffle collecting the per-type timestamp lists,
+    then the stage chain resolves map-side with array_min/filter lambdas
+    (the 24 h windows depend on the previous stage, so they CAN'T be plain
+    conditional aggs — but they can be array folds over the collected
+    lists).  The previous agg->rejoin->agg chain re-ran each stage's
+    upstream per UNION branch: ~6 scans of events.  Skew note: the arrays
+    hold one user's view/click/purchase timestamps only — bounded by
+    per-user activity, the same bound sessionize already assumes."""
+    day = F.expr("INTERVAL 24 HOUR")
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("t_view"),
+             F.collect_list(F.when(F.col("event_type") == "click",
+                                   F.col("ts"))).alias("clicks"),
+             F.collect_list(F.when(F.col("event_type") == "purchase",
+                                   F.col("ts"))).alias("purchases")))
+    # two-step select: each stage references the materialized previous one
+    s1 = per_user.select(
+        "t_view", "purchases",
+        F.array_min(F.filter("clicks", lambda c: (c > F.col("t_view"))
+                             & (c <= F.col("t_view") + day))).alias("t_click"))
+    s2 = s1.select(
+        "t_view", "t_click",
+        F.array_min(F.filter("purchases", lambda p: (p > F.col("t_click"))
+                             & (p <= F.col("t_click") + day))).alias("t_purchase"))
+    tot = s2.agg(F.count("t_view").alias("n1"),
+                 F.count("t_click").alias("n2"),
+                 F.count("t_purchase").alias("n3"))
+    return (tot.select(F.explode(F.array(
+        F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
+        F.struct(F.lit("2_click").alias("stage"), F.col("n2").alias("n_users")),
+        F.struct(F.lit("3_purchase").alias("stage"), F.col("n3").alias("n_users")),
+    )).alias("s")).select("s.*"))
 
 
 SQL_FUNNEL_CONVERSION = """
@@ -1498,20 +1554,48 @@ GROUP BY user_id
 
 def q_exact_median(spark, sf_dir):
     """Exact per-group median WITHOUT percentile interpolation (engines
-    disagree on interpolation variants): sort-rank the values, average
-    the one or two middle elements — (a+b)/2 is the same IEEE operation
-    in both engines, so the result is value-exact. One window shuffle on
-    the group key."""
+    disagree on interpolation variants): rank the values, average the one
+    or two middle elements — (a+b)/2 is the same IEEE operation in both
+    engines, so the result is value-exact.
+
+    TWO-PHASE RANK, not a per-group window: ``Window.partitionBy(group)``
+    caps the sort at one task per group (~5 event types = 5 tasks no matter
+    the cluster; a hot group serializes the query at 100×).  Instead:
+
+      1. range-repartition on (event_type, value, event_id) into P
+         partitions (P >> #groups) + in-partition sort — the heavy sort
+         runs P-way; (event_type, value, event_id) is a total order, so
+         in-partition row position is deterministic,
+      2. tiny per-(partition, group) counts -> global offsets via a window
+         over that P×G-row frame (NO driver collect),
+      3. broadcast the offsets back: global rank = group offset + position
+         within the partition's group run (monotonically_increasing_id is
+         consecutive per partition, and event_type is the sort prefix, so
+         ranks within a (pid, group) run are mid - min_mid).
+
+    The big data is shuffled ONCE (the range exchange, reused by both the
+    counts branch and the rank branch); everything after is map-side +
+    a ≤2-rows-per-group final agg."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wc = Window.partitionBy("event_type")   # unordered: count over the group
-    mid = (_t(spark, sf_dir, "events")
-           .select("event_type", "value", "event_id")
-           .withColumn("rn", F.row_number().over(w))
-           .withColumn("n", F.count(F.lit(1)).over(wc))
-           .where(F.expr("rn = (n + 1) div 2 OR rn = n div 2 + 1")))
-    return (mid.groupBy("event_type")
+    p = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
+    base = (_t(spark, sf_dir, "events")
+            .select("event_type", "value", "event_id")
+            .repartitionByRange(p, "event_type", "value", "event_id")
+            .sortWithinPartitions("event_type", "value", "event_id")
+            .select("*", F.spark_partition_id().alias("pid"),
+                    F.monotonically_increasing_id().alias("mid")))
+    counts = (base.groupBy("pid", "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt"), F.min("mid").alias("min_mid")))
+    w_run = Window.partitionBy("event_type").orderBy("pid")
+    offs = counts.select(
+        "pid", "event_type", "min_mid",
+        (F.sum("cnt").over(w_run) - F.col("cnt")).alias("off"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"))
+    mid_rows = (base.join(F.broadcast(offs), ["pid", "event_type"])
+                .withColumn("rn", F.col("off") + (F.col("mid") - F.col("min_mid")) + 1)
+                .where(F.expr("rn = (n + 1) div 2 OR rn = n div 2 + 1")))
+    return (mid_rows.groupBy("event_type")
             .agg(F.avg("value").alias("median_value"),
                  F.min("n").alias("n_events")))
 

@@ -173,12 +173,44 @@ def test_stratified_sample_is_map_side_only(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_exact_median_is_single_scan_single_shuffle(spark):
-    """The window count must reuse the row_number partitioning: one scan,
-    one Exchange, no join (a groupBy+rejoin count would double the scan)."""
+def test_exact_median_rank_parallelism_exceeds_group_count(spark):
+    """Two-phase rank: the heavy sort must run at the RANGE partition count
+    (P=32 here), not one-task-per-group (~5 event types) as a
+    Window.partitionBy(group) plan would. The offsets join back must be a
+    broadcast, and at runtime AQE must reuse the range exchange between the
+    counts branch and the rank branch so events is scanned+shuffled once."""
     import re
     from kgforge.queries import q_exact_median
-    plan = _plan(q_exact_median(spark, SF))
+    df = q_exact_median(spark, SF)
+    plan = _plan(df)
+    parts = [int(m) for m in
+             re.findall(r"rangepartitioning\([^)]*?(\d+)\)", plan)]
+    assert parts and min(parts) >= 16, plan       # P >> #groups (5)
+    assert "BroadcastHashJoin" in plan, plan      # tiny offsets, not SMJ
+    assert "SortMergeJoin" not in plan, plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final       # one physical range shuffle
+
+
+def test_ngram_jaccard_pairs_single_scan_single_shuffle(spark):
+    """The fused pair query: band computed inline with the word set, pairs
+    generated per bucket with posexplode+slice — ONE documents scan, ONE
+    Exchange (the band groupBy), no doc_id join, no band self-join."""
+    import re
+    from kgforge.queries import q_ngram_jaccard_pairs
+    plan = _plan(q_ngram_jaccard_pairs(spark, SF))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_funnel_is_single_scan(spark):
+    """One-pass funnel: a single events scan + one user-keyed agg shuffle
+    (plus the single-row final agg); the stage chain resolves map-side."""
+    import re
+    from kgforge.queries import q_funnel_conversion
+    plan = _plan(q_funnel_conversion(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
     assert "Join" not in plan, plan

@@ -137,6 +137,33 @@ def test_lang_id_accuracy_on_real_language_snippets(spark, tmp_path):
     assert got == want
 
 
+def test_lang_id_vertical_tab_cross_engine(spark, tmp_path):
+    """U+000B regression: Java's \\s includes vertical tab, RE2's does not.
+    lang_id splits on the explicit _WS_RE class so a marker word adjacent to
+    a VT tokenizes identically on Spark and DuckDB (the corpus sweep can't
+    catch this — the synthetic corpus is VT-free)."""
+    import pandas as pd
+    from kgforge.queries import _sql_lang_id, q_lang_id
+
+    pdf = pd.DataFrame([
+        {"doc_id": 0, "text": "the\x0band was that with have", "lang": "en",
+         "source": "t", "n_chars": 26},
+        {"doc_id": 1, "text": "der\x0bhund und die katze", "lang": "de",
+         "source": "t", "n_chars": 22},
+    ])
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    got = q_lang_id(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    sql = _sql_lang_id()
+    want = con.execute(sql).fetchdf().to_dict("records")
+    gmap = {r["doc_id"]: (r["c_en"], r["c_de"], r["pred_lang"]) for r in got}
+    wmap = {r["doc_id"]: (r["c_en"], r["c_de"], r["pred_lang"]) for r in want}
+    assert gmap == wmap
+    assert gmap[0][2] == "en" and gmap[1][2] == "de"
+
+
 def test_kgram_cardinality_sketch_error_bound(spark):
     """HLL lgK=12 promises ~1.6% relative standard error; gate every row
     (per-lang AND the sketch-union 'ALL' row) at 3%, and the union row must
