@@ -21,7 +21,7 @@ class PipelineConfig:
     # --- featurization / inference ---
     max_length: int = 64            # tokens per span incl. special tokens
     n_special_tokens: int = 2       # [CLS] ... [SEP]
-    tokenizer: str = "chunk"        # chunk | wordpiece (token_classification.rs:237-242 flags live on the WordPiece tokenizer)
+    tokenizer: str = "chunk"        # chunk | wordpiece | bpe | unigram (the TokenizerOption families, common.rs:258-330; WordPiece flags per token_classification.rs:237-242)
     batch_size: int = 64            # features per inference micro-batch
     label_aggregation: str = "first"  # first | last | mode
     # --- stage 3 (relation scoring) ---

@@ -228,6 +228,255 @@ class WordPieceTokenizer:
         return TokenizedInput(pieces, ids, begins, ends, masks)
 
 
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's public byte->printable-unicode table (the released encoder's
+    bytes_to_unicode): printable latin bytes map to themselves, the rest to
+    256+offset codepoints, giving a closed 256-symbol alphabet with no
+    whitespace/control chars — the foundation of byte-level BPE's
+    no-[UNK] guarantee."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = _bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+
+class BPETokenizer:
+    """Byte-level BPE (the GPT-2/RoBERTa family of the reference's
+    TokenizerOption closed enum, src/pipelines/common.rs:258-330; HF adapter
+    surface hf_tokenizers.rs:105-497). The rust_tokenizers crate backing the
+    reference is external; this is a from-scratch pure-Python implementation
+    of the same public algorithm (the released GPT-2 encoder): UTF-8 bytes
+    through the bytes->unicode proxy alphabet, then ranked pair merges —
+    lowest-rank pair first, all adjacent occurrences per pass. The byte
+    alphabet is closed, so NOTHING is ever [UNK] (vs WordPiece's
+    whole-word-UNK rule).
+
+    Two documented stand-in divergences, both position-independence choices
+    for the pipeline contract:
+      * pre-tokenization uses the pipeline's shared ``_WORD_RE`` (word /
+        single-punct) instead of GPT-2's contraction+space regex, and the
+        leading-space "Ġ" marker is dropped — the gazetteer and gold spans
+        key on the word itself, not on where it sits in the sentence;
+      * ids come from ``token_id`` (hash vocab) as for the other
+        tokenizers, not from a vocab.json.
+
+    Offsets are CHARACTER offsets into the ORIGINAL text, derived from a
+    per-byte -> source-char map. A merge boundary may fall INSIDE a
+    multibyte char's bytes; the two pieces then both cover that char
+    (begins/ends overlap by one char) — exactly how byte-level offsets
+    degrade on astral/multibyte input, property-tested. ``decode`` inverts
+    the proxy alphabet back to bytes (round-trip exact per word).
+
+    Same ``tokenize_with_offsets`` contract as chunk/WordPiece; plug in
+    with ``PipelineConfig(tokenizer="bpe")``.
+    """
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.ranks: dict[tuple[str, str], int] = {
+            pair: i for i, pair in enumerate(merges)}
+        self._cache: dict[tuple[str, ...], list[str]] = {}
+
+    # -- training (classic Sennrich BPE learning; deterministic) ----------
+    @classmethod
+    def train(cls, words, n_merges: int | None = None) -> "BPETokenizer":
+        """Learn merges from a word list: repeatedly merge the most frequent
+        adjacent symbol pair (ties -> lexicographically smallest pair, so
+        training is order-independent and deterministic). ``n_merges=None``
+        trains to convergence: every training word ends as ONE symbol —
+        the stand-in analog of 'entity words are in-vocab', mirroring
+        WordPieceTokenizer.from_words."""
+        seqs: dict[tuple[str, ...], int] = {}
+        for w in words:
+            t = tuple(_B2U[b] for b in w.encode("utf-8"))
+            if t:
+                seqs[t] = seqs.get(t, 0) + 1
+        merges: list[tuple[str, str]] = []
+        while n_merges is None or len(merges) < n_merges:
+            pairs: dict[tuple[str, str], int] = {}
+            for seq, c in seqs.items():
+                for pair in zip(seq, seq[1:]):
+                    pairs[pair] = pairs.get(pair, 0) + c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            seqs = {cls._merge_seq(seq, best): c for seq, c in seqs.items()}
+        return cls(merges)
+
+    @classmethod
+    def from_words(cls, words) -> "BPETokenizer":
+        return cls.train(words, n_merges=None)
+
+    @staticmethod
+    def _merge_seq(seq: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+        out: list[str] = []
+        i = 0
+        while i < len(seq):
+            if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+                out.append(seq[i] + seq[i + 1])
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return tuple(out)
+
+    # -- encoding ---------------------------------------------------------
+    def _bpe(self, seq: tuple[str, ...]) -> list[str]:
+        """Apply merges by rank: the present pair with the LOWEST rank is
+        merged (all adjacent occurrences) each pass — the GPT-2 encode
+        loop. Per-word memoized: natural-language words repeat heavily."""
+        hit = self._cache.get(seq)
+        if hit is not None:
+            return hit
+        word = list(seq)
+        while len(word) > 1:
+            ranked = [(self.ranks[p], p) for p in zip(word, word[1:])
+                      if p in self.ranks]
+            if not ranked:
+                break
+            _, pair = min(ranked)
+            word = list(self._merge_seq(tuple(word), pair))
+        self._cache[seq] = word
+        return word
+
+    def tokenize_with_offsets(self, text: str) -> TokenizedInput:
+        pieces: list[str] = []
+        ids: list[int] = []
+        begins: list[int] = []
+        ends: list[int] = []
+        masks: list[int] = []
+        for m in _WORD_RE.finditer(text):
+            word = m.group(0)
+            start = m.start()
+            proxies: list[str] = []
+            byte_char: list[int] = []    # source char index per byte
+            for ci, ch in enumerate(word):
+                for b in ch.encode("utf-8"):
+                    proxies.append(_B2U[b])
+                    byte_char.append(ci)
+            pos = 0
+            for j, piece in enumerate(self._bpe(tuple(proxies))):
+                b0, b1 = pos, pos + len(piece)
+                pos = b1
+                pieces.append(piece)
+                ids.append(token_id(piece))
+                begins.append(start + byte_char[b0])
+                ends.append(start + byte_char[b1 - 1] + 1)
+                masks.append(MASK_NONE if j == 0 else MASK_CONTINUATION)
+        return TokenizedInput(pieces, ids, begins, ends, masks)
+
+    def decode(self, pieces) -> str:
+        """pieces -> original bytes -> text (exact inverse of the proxy
+        alphabet; invalid split at piece-list boundaries degrades to
+        U+FFFD, as in the public decoder)."""
+        return bytes(_U2B[ch] for piece in pieces
+                     for ch in piece).decode("utf-8", errors="replace")
+
+
+class UnigramTokenizer:
+    """SentencePiece-unigram-style tokenizer (the T5/XLNet/Marian/Albert
+    side of the reference's TokenizerOption enum, common.rs:258-330):
+    segment each word into the piece sequence MAXIMIZING the sum of piece
+    log-probs, via Viterbi over piece boundaries — the public unigram-LM
+    inference algorithm (Kudo 2018), from scratch.
+
+    Stand-in divergences (same position-independence rationale as
+    BPETokenizer): pre-tokenization is the shared ``_WORD_RE`` and the
+    "▁" whole-word space marker is dropped; piece scores come from
+    ``from_words`` (full words strongly preferred over char pieces) rather
+    than an EM-trained model — the segmentation MATH is the real
+    algorithm, the score table is the swappable stand-in, exactly like the
+    hash-head encoders.
+
+    Never [UNK]: any char not in the piece table gets an implicit deeply
+    penalized single-char fallback score, so Viterbi always finds a path
+    (SentencePiece's byte-fallback analog). Offsets are codepoint-exact
+    into the original text. Same ``tokenize_with_offsets`` contract;
+    plug in with ``PipelineConfig(tokenizer="unigram")``.
+    """
+
+    WORD_SCORE = -1.0      # in-vocab full words / learned pieces
+    CHAR_SCORE = -8.0      # char pieces: only when no word piece fits
+    FALLBACK_SCORE = -100.0  # unknown single char (never blocks a path)
+
+    def __init__(self, pieces: dict[str, float]):
+        self.pieces = dict(pieces)
+        self.max_piece_len = max((len(p) for p in self.pieces), default=1)
+
+    @classmethod
+    def from_words(cls, words) -> "UnigramTokenizer":
+        """Piece table = each full word at WORD_SCORE + each of its chars
+        at CHAR_SCORE: in-vocab words segment as ONE piece (one word piece
+        always beats any multi-piece split), everything else degrades to
+        char pieces — the same in-vocab contract as the other stand-ins."""
+        pieces: dict[str, float] = {}
+        for w in words:
+            if not w:
+                continue
+            pieces[w] = cls.WORD_SCORE
+            for ch in w:
+                pieces.setdefault(ch, cls.CHAR_SCORE)
+        return cls(pieces)
+
+    def _viterbi(self, word: str) -> list[tuple[int, int]]:
+        """-> (start, end) piece spans. DP over end positions; on equal
+        score the LONGER last piece wins (deterministic, and matches
+        unigram's preference for fewer pieces at equal probability)."""
+        n = len(word)
+        neg_inf = float("-inf")
+        best = [neg_inf] * (n + 1)
+        best[0] = 0.0
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for length in range(1, min(self.max_piece_len, i) + 1):
+                sub = word[i - length:i]
+                score = self.pieces.get(sub)
+                if score is None:
+                    if length > 1:
+                        continue
+                    score = self.FALLBACK_SCORE
+                cand = best[i - length] + score
+                if cand > best[i] or (cand == best[i] and length > i - back[i]):
+                    best[i] = cand
+                    back[i] = i - length
+        spans: list[tuple[int, int]] = []
+        i = n
+        while i > 0:
+            spans.append((back[i], i))
+            i = back[i]
+        spans.reverse()
+        return spans
+
+    def tokenize_with_offsets(self, text: str) -> TokenizedInput:
+        pieces: list[str] = []
+        ids: list[int] = []
+        begins: list[int] = []
+        ends: list[int] = []
+        masks: list[int] = []
+        for m in _WORD_RE.finditer(text):
+            word = m.group(0)
+            start = m.start()
+            for j, (s, e) in enumerate(self._viterbi(word)):
+                piece = word[s:e]
+                pieces.append(piece)
+                ids.append(token_id(piece))
+                begins.append(start + s)
+                ends.append(start + e)
+                masks.append(MASK_NONE if j == 0 else MASK_CONTINUATION)
+        return TokenizedInput(pieces, ids, begins, ends, masks)
+
+
 @dataclass
 class InputFeature:
     """One sliding-window span, with special tokens added.

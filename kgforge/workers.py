@@ -29,20 +29,29 @@ def get_token_classifier(seed: int = 42,
 
 
 def get_tokenizer(kind: str = "chunk"):
-    """None for the default chunk tokenizer; a per-worker WordPiece singleton
-    (vocab built once from the synthetic catalog + trigger words) for
-    ``wordpiece``. A real deployment would construct WordPieceTokenizer from
-    the checkpoint's vocab file here — same contract."""
+    """None for the default chunk tokenizer; a per-worker singleton for the
+    sub-word tokenizers (``wordpiece`` | ``bpe`` | ``unigram`` — the three
+    algorithm families of the reference's TokenizerOption closed enum,
+    common.rs:258-330), each built once from the synthetic catalog + trigger
+    vocab. A real deployment would construct the tokenizer from the
+    checkpoint's vocab/merges/model file here — same contract."""
     if kind == "chunk":
         return None
-    if kind != "wordpiece":
+    if kind not in ("wordpiece", "bpe", "unigram"):
         raise ValueError(f"unknown tokenizer kind: {kind!r}")
     key = ("tokenizer", kind)
     if key not in _CACHE:
         from .synth import wordpiece_vocab_words
-        from .tokenization import WordPieceTokenizer
-        _CACHE[key] = WordPieceTokenizer.from_words(
-            wordpiece_vocab_words(), lower_case=False)
+        from .tokenization import (BPETokenizer, UnigramTokenizer,
+                                   WordPieceTokenizer)
+        words = wordpiece_vocab_words()
+        if kind == "wordpiece":
+            _CACHE[key] = WordPieceTokenizer.from_words(words,
+                                                        lower_case=False)
+        elif kind == "bpe":
+            _CACHE[key] = BPETokenizer.from_words(words)
+        else:
+            _CACHE[key] = UnigramTokenizer.from_words(words)
     return _CACHE[key]
 
 

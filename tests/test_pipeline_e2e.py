@@ -119,6 +119,27 @@ def test_pr_gate_wordpiece_tokenizer(spark, tiny_pages_df, alias_df,
     assert pr.precision == 1.0 and pr.recall == 1.0, pr
 
 
+def test_pr_gate_bpe_tokenizer(spark, tiny_pages_df, alias_df,
+                               gold_triples_df):
+    """Same e2e gate with byte-level BPE swapped in: convergence-trained
+    merges make entity words single pieces (multibyte surfaces key on their
+    byte-proxy piece), and the gazetteer keys on the SAME pieces."""
+    t = run_pipeline(spark, tiny_pages_df, alias_df,
+                     PipelineConfig(tokenizer="bpe"))
+    pr = triple_pr(t, gold_triples_df)
+    assert pr.precision == 1.0 and pr.recall == 1.0, pr
+
+
+def test_pr_gate_unigram_tokenizer(spark, tiny_pages_df, alias_df,
+                                   gold_triples_df):
+    """Same e2e gate with the SentencePiece-style unigram tokenizer:
+    Viterbi segments in-vocab entity words as one piece."""
+    t = run_pipeline(spark, tiny_pages_df, alias_df,
+                     PipelineConfig(tokenizer="unigram"))
+    pr = triple_pr(t, gold_triples_df)
+    assert pr.precision == 1.0 and pr.recall == 1.0, pr
+
+
 def test_triples_schema_and_values(triples):
     assert set(triples.columns) == {
         "url", "sent_idx", "subj_id", "pred", "obj_id",

@@ -276,3 +276,216 @@ def test_predict_tokens_rejects_tokenizer_gazetteer_mismatch():
     # matched kinds still work
     toks = predict_tokens(["Vandelay Holdings"], enc, PipelineConfig())
     assert toks and toks[0]
+
+
+# --------------------------------------------------------------------------
+# Byte-level BPE tokenizer (GPT-2/RoBERTa family of TokenizerOption,
+# common.rs:258-330; public GPT-2 encoder algorithm, from scratch)
+# --------------------------------------------------------------------------
+
+from kgforge.tokenization import _B2U, _U2B, BPETokenizer, UnigramTokenizer
+
+
+def test_bytes_to_unicode_is_a_256_bijection():
+    assert len(_B2U) == 256 and len(_U2B) == 256
+    assert all(_U2B[u] == b for b, u in _B2U.items())
+    # printable latin bytes map to themselves; none of the proxies are
+    # whitespace/control (the property the table exists for)
+    assert _B2U[ord("A")] == "A" and _B2U[ord("!")] == "!"
+    assert all(not ch.isspace() for ch in _B2U.values())
+
+
+def test_bpe_training_converges_words_to_single_pieces():
+    tok = BPETokenizer.from_words(["hello", "help", "world"])
+    for w in ("hello", "help", "world"):
+        t = tok.tokenize_with_offsets(w)
+        assert t.pieces == [w]
+        assert t.begins == [0] and t.ends == [len(w)]
+        assert t.masks == [MASK_NONE]
+
+
+def test_bpe_training_is_deterministic_and_order_independent():
+    a = BPETokenizer.from_words(["alpha", "beta", "gamma"])
+    b = BPETokenizer.from_words(["gamma", "alpha", "beta"])
+    assert a.ranks == b.ranks
+
+
+def test_bpe_oov_word_shares_learned_prefixes_never_unk():
+    tok = BPETokenizer.from_words(["hello"])
+    # "hellish" reuses the learned merges where they apply (training merged
+    # e+l then el+l, so "ell" is a reachable symbol) and degrades to single
+    # bytes elsewhere — never [UNK]
+    t = tok.tokenize_with_offsets("hellish")
+    assert "".join(t.pieces) == "hellish"
+    assert "ell" in t.pieces               # multi-byte learned symbol reused
+    assert t.masks[0] == MASK_NONE
+    assert all(m == MASK_CONTINUATION for m in t.masks[1:])
+    # begins/ends tile the word contiguously (pure-ASCII: char == byte)
+    assert t.begins[0] == 0 and t.ends[-1] == 7
+    for k in range(1, len(t.pieces)):
+        assert t.begins[k] == t.ends[k - 1]
+
+
+def test_bpe_rank_order_beats_frequency_order_at_encode_time():
+    # merges applied lowest-rank-first, not left-to-right: with merges
+    # [(b,c), (a,b)] the word "abc" must merge (b,c) first -> ["a","bc"]
+    tok = BPETokenizer([("b", "c"), ("a", "b")])
+    assert tok.tokenize_with_offsets("abc").pieces == ["a", "bc"]
+    # reversed ranks -> (a,b) first -> ["ab","c"]
+    tok2 = BPETokenizer([("a", "b"), ("b", "c")])
+    assert tok2.tokenize_with_offsets("abc").pieces == ["ab", "c"]
+
+
+def test_bpe_multibyte_offsets_and_byte_split_chars():
+    # no merges: every byte is its own piece. "ø" is 2 UTF-8 bytes ->
+    # 2 pieces BOTH covering the one source char (the documented
+    # byte-level offset degradation); decode restores the exact text.
+    tok = BPETokenizer([])
+    text = "Tø"
+    t = tok.tokenize_with_offsets(text)
+    assert len(t.pieces) == 3                     # 'T' + 2 bytes of 'ø'
+    assert (t.begins[1], t.ends[1]) == (1, 2)
+    assert (t.begins[2], t.ends[2]) == (1, 2)
+    assert tok.decode(t.pieces) == text
+    # with convergence training the same word is one piece, char-exact
+    tok2 = BPETokenizer.from_words(["Tromsø"])
+    t2 = tok2.tokenize_with_offsets("Tromsø")
+    assert t2.pieces and len(t2.pieces) == 1
+    assert (t2.begins[0], t2.ends[0]) == (0, 6)
+    assert tok2.decode(t2.pieces) == "Tromsø"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.text(alphabet="aAbé日🙂'’ ", min_size=1, max_size=8), min_size=1,
+    max_size=6))
+def test_bpe_offset_and_roundtrip_property(words):
+    """Any text (incl. astral 🙂 = 4 UTF-8 bytes): per word, pieces decode
+    byte-exactly back to the word, offsets stay inside the word span, start
+    at its start, end at its end, and never go backwards."""
+    import re
+    text = " ".join(words)
+    word_spans = [(m.start(), m.end()) for m in
+                  re.finditer(r"\w+|[^\w\s]", text, re.UNICODE)]
+    toks = [text[b:e] for b, e in word_spans]
+    tok = BPETokenizer.from_words(toks)
+    t = tok.tokenize_with_offsets(text)
+    assert len([m for m in t.masks if m == MASK_NONE]) == len(word_spans)
+    k = 0
+    for (wb, we) in word_spans:
+        assert t.masks[k] == MASK_NONE and t.begins[k] == wb
+        word_pieces = [t.pieces[k]]
+        last_end = t.ends[k]
+        k += 1
+        while k < len(t.pieces) and t.masks[k] == MASK_CONTINUATION:
+            assert wb <= t.begins[k] <= t.ends[k] <= we
+            assert t.begins[k] >= t.begins[k - 1]   # non-decreasing
+            word_pieces.append(t.pieces[k])
+            last_end = t.ends[k]
+            k += 1
+        assert last_end == we
+        assert tok.decode(word_pieces) == text[wb:we]
+    assert k == len(t.pieces)
+
+
+def test_bpe_generate_features_and_gazetteer_agree():
+    """Pluggable path parity with WordPiece: entity words trained to
+    convergence are single pieces, the gazetteer keys on them, and
+    generate_features emits the same ids."""
+    from kgforge.synth import build_gazetteer, wordpiece_vocab_words
+    from kgforge.tokenization import generate_features, token_id
+    tok = BPETokenizer.from_words(wordpiece_vocab_words())
+    feats = generate_features("Vandelay Holdings is located in Tromsø.",
+                              0, 64, 2, tokenizer=tok)
+    assert len(feats) == 1
+    gaz = build_gazetteer(tokenizer=tok)
+    # ASCII words: the byte proxy IS the word. Multibyte words ("Tromsø"):
+    # the piece is the PROXY string — the gazetteer must key on the
+    # tokenizer's own piece, which is what makes the lookup agree
+    troms_piece = tok.tokenize_with_offsets("Tromsø").pieces[0]
+    assert token_id("Vandelay") in gaz and token_id(troms_piece) in gaz
+    ids = feats[0].input_ids
+    assert token_id("Vandelay") in ids and token_id(troms_piece) in ids
+
+
+# --------------------------------------------------------------------------
+# Unigram (SentencePiece-style) tokenizer — Viterbi max-log-prob
+# segmentation (Kudo 2018), the T5/XLNet/Marian side of TokenizerOption
+# --------------------------------------------------------------------------
+
+
+def test_unigram_in_vocab_word_is_one_piece():
+    tok = UnigramTokenizer.from_words(["hello", "world"])
+    t = tok.tokenize_with_offsets("hello world")
+    assert t.pieces == ["hello", "world"]
+    assert t.masks == [MASK_NONE, MASK_NONE]
+    assert list(zip(t.begins, t.ends)) == [(0, 5), (6, 11)]
+
+
+def test_unigram_viterbi_picks_max_score_segmentation():
+    # "abc": {"ab":-1,"c":-8} = -9 beats chars (-24); a full "abc" at -1
+    # beats both
+    tok = UnigramTokenizer({"ab": -1.0, "a": -8.0, "b": -8.0, "c": -8.0})
+    assert tok.tokenize_with_offsets("abc").pieces == ["ab", "c"]
+    tok2 = UnigramTokenizer({"abc": -1.0, "ab": -1.0, "a": -8.0,
+                             "b": -8.0, "c": -8.0})
+    assert tok2.tokenize_with_offsets("abc").pieces == ["abc"]
+    # score dominates piece count: two cheap pieces beat one expensive one
+    tok3 = UnigramTokenizer({"abcd": -20.0, "ab": -1.0, "cd": -1.0})
+    assert tok3.tokenize_with_offsets("abcd").pieces == ["ab", "cd"]
+
+
+def test_unigram_equal_score_prefers_longer_piece():
+    # "aaaa" with {"aa":-2,"aaa":-4,"a":-2}: splits 2+2 (=-4) and 3+1 (=-6)
+    # and 1+1+2 (=-6)... construct a real tie: {"aa":-2, "a":-1}:
+    # "aa" as one piece -2 vs "a"+"a" -2 -> tie; longer piece wins
+    tok = UnigramTokenizer({"aa": -2.0, "a": -1.0})
+    assert tok.tokenize_with_offsets("aa").pieces == ["aa"]
+
+
+def test_unigram_unknown_char_fallback_never_blocks():
+    tok = UnigramTokenizer.from_words(["abc"])
+    # 'x' and '日' are not in the piece table -> single-char fallback
+    t = tok.tokenize_with_offsets("ax日c")
+    assert "".join(t.pieces) == "ax日c"
+    assert t.masks[0] == MASK_NONE
+    assert all(m == MASK_CONTINUATION for m in t.masks[1:])
+    for piece, b, e in zip(t.pieces, t.begins, t.ends):
+        assert "ax日c"[b:e] == piece
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.text(alphabet="aAbé日🙂 ", min_size=1, max_size=8), min_size=1,
+    max_size=6))
+def test_unigram_offset_exactness_property(words):
+    """Codepoint-exact offsets: every piece IS the [begin, end) slice of
+    the original text; pieces tile each word contiguously."""
+    import re
+    text = " ".join(words)
+    word_spans = [(m.start(), m.end()) for m in
+                  re.finditer(r"\w+|[^\w\s]", text, re.UNICODE)]
+    toks = [text[b:e] for b, e in word_spans]
+    tok = UnigramTokenizer.from_words(toks)
+    t = tok.tokenize_with_offsets(text)
+    for piece, b, e in zip(t.pieces, t.begins, t.ends):
+        assert text[b:e] == piece
+    k = 0
+    for (wb, we) in word_spans:
+        assert t.begins[k] == wb and t.masks[k] == MASK_NONE
+        prev_end = t.ends[k]
+        k += 1
+        while k < len(t.pieces) and t.masks[k] == MASK_CONTINUATION:
+            assert t.begins[k] == prev_end
+            prev_end = t.ends[k]
+            k += 1
+        assert prev_end == we
+    assert k == len(t.pieces)
+
+
+def test_unigram_gazetteer_agreement():
+    from kgforge.synth import build_gazetteer, wordpiece_vocab_words
+    from kgforge.tokenization import token_id
+    tok = UnigramTokenizer.from_words(wordpiece_vocab_words())
+    gaz = build_gazetteer(tokenizer=tok)
+    assert token_id("Vandelay") in gaz and token_id("Tromsø") in gaz
