@@ -26,6 +26,7 @@ class PipelineConfig:
     label_aggregation: str = "first"  # first | last | mode
     # --- stage 3 (relation scoring) ---
     relation_threshold: float = 0.5
+    nli_max_length: int = 128       # LongestFirst pair budget for NLI/zero-shot (zero_shot_classification.rs:740-745)
     max_pair_distance: int = 200    # max char distance subj..obj within a sentence
     # --- stage 4 (linking) ---
     embedding_dim: int = 64

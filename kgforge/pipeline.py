@@ -249,7 +249,8 @@ def stage_ner_score(sentences: DataFrame, cfg: PipelineConfig) -> DataFrame:
                     flat_hyp.append(c["hypothesis"])
             if flat_prem:
                 scores = score_candidates(flat_prem, flat_hyp, nli,
-                                          local_cfg.batch_size)
+                                          local_cfg.batch_size,
+                                          local_cfg.nli_max_length)
             pos = 0
             out_cands = []
             for cands in row_cands:
@@ -310,7 +311,8 @@ def stage_candidates_score(sent_ents: DataFrame, cfg: PipelineConfig) -> DataFra
             out = pd.DataFrame(rows)
             if len(out):
                 out["score"] = score_candidates(
-                    out["sentence"].tolist(), out["hypothesis"].tolist(), nli, bsz)
+                    out["sentence"].tolist(), out["hypothesis"].tolist(), nli,
+                    bsz, cfg.nli_max_length)
                 out = out[out["score"] >= thr]
             else:
                 out["score"] = pd.Series(dtype="float64")
@@ -325,6 +327,7 @@ def stage_candidates_score(sent_ents: DataFrame, cfg: PipelineConfig) -> DataFra
 
 def stage_score(candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
     seed, bsz, thr = cfg.seed, cfg.batch_size, cfg.relation_threshold
+    nli_max_len = cfg.nli_max_length
     out_schema = StructType(candidates.schema.fields + [
         StructField("score", DoubleType(), False)
     ])
@@ -336,7 +339,8 @@ def stage_score(candidates: DataFrame, cfg: PipelineConfig) -> DataFrame:
                 yield pdf.assign(score=pd.Series(dtype="float64"))
                 continue
             scores = score_candidates(
-                pdf["sentence"].tolist(), pdf["hypothesis"].tolist(), nli, bsz
+                pdf["sentence"].tolist(), pdf["hypothesis"].tolist(), nli,
+                bsz, nli_max_len
             )
             yield pdf.assign(score=scores)
 

@@ -942,7 +942,10 @@ def q_embedding_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
 def q_kg_zero_shot(spark, sf_dir):
     """Zero-shot classification over documents (reference zero-shot
     single-label semantics: entailment softmax across labels); rows-only
-    (scoring math pytest-gated)."""
+    (scoring math pytest-gated). Long documents are truncated INSIDE
+    classify_zero_shot via LongestFirst pair truncation (token-wise, joint
+    with the hypothesis — zero_shot_classification.rs:740-745), not a
+    caller-side char clip."""
     from pyspark.sql.types import (DoubleType, LongType, StringType,
                                    StructField, StructType)
     from .triples import classify_zero_shot
@@ -953,7 +956,7 @@ def q_kg_zero_shot(spark, sf_dir):
     def gen(batches):
         nli = get_nli(42)
         for pdf in batches:
-            texts = [str(t)[:200] for t in pdf["text"]]
+            texts = [str(t) for t in pdf["text"]]
             if not texts:
                 yield pd.DataFrame({"doc_id": [], "label": [], "score": []})
                 continue

@@ -228,6 +228,49 @@ class WordPieceTokenizer:
         return TokenizedInput(pieces, ids, begins, ends, masks)
 
 
+def longest_first_keep(n_a: int, n_b: int, max_content: int) -> tuple[int, int]:
+    """TruncationStrategy::LongestFirst over a pair: remove ONE token at a
+    time from the currently-longer sequence until the pair fits
+    ``max_content``; ties trim the FIRST sequence. This is the public
+    truncation algorithm the reference selects for every pair-encode path
+    (encode_pair_list at zero_shot_classification.rs:740-745,
+    tokenize_and_pad at common.rs:2250-2270). Token-level, not char-level:
+    the budget is in TOKENS of whatever tokenizer encodes the pair."""
+    keep_a, keep_b = n_a, n_b
+    for _ in range(max(keep_a + keep_b - max_content, 0)):
+        if keep_a >= keep_b:
+            keep_a -= 1
+        else:
+            keep_b -= 1
+    return max(keep_a, 0), max(keep_b, 0)
+
+
+def encode_pair_truncated(text_a: str, text_b: str, max_length: int,
+                          n_special: int = 3, tokenizer=None) -> tuple[str, str]:
+    """Joint premise/hypothesis truncation for the NLI/zero-shot stage:
+    tokenize both sides, apply LongestFirst to the content budget
+    ``max_length - n_special`` (BERT pair layout [CLS] A [SEP] B [SEP] ->
+    3 specials), and slice each ORIGINAL text at its last kept token's end
+    offset. Returns surface strings because the stand-in NLI head consumes
+    text — a real checkpoint would feed the kept ids directly; the
+    truncation MATH is identical. Truncation is from the END of each side
+    only, like the reference."""
+    ta = (tokenizer.tokenize_with_offsets(text_a) if tokenizer is not None
+          else tokenize_with_offsets(text_a))
+    tb = (tokenizer.tokenize_with_offsets(text_b) if tokenizer is not None
+          else tokenize_with_offsets(text_b))
+    keep_a, keep_b = longest_first_keep(len(ta.ids), len(tb.ids),
+                                        max_length - n_special)
+
+    def cut(text, tok, keep, total):
+        if keep >= total:
+            return text
+        return text[:tok.ends[keep - 1]] if keep > 0 else ""
+
+    return (cut(text_a, ta, keep_a, len(ta.ids)),
+            cut(text_b, tb, keep_b, len(tb.ids)))
+
+
 def _bytes_to_unicode() -> dict[int, str]:
     """GPT-2's public byte->printable-unicode table (the released encoder's
     bytes_to_unicode): printable latin bytes map to themselves, the rest to

@@ -81,12 +81,17 @@ def classify_zero_shot(
     nli: StandInNLI,
     template="This example is about {}.",
     multilabel: bool = False,
+    max_length: int | None = 128,
 ) -> list[list[dict]]:
     """Zero-shot classification entry point, both scoring modes.
 
     ``template``: a "{}"-style format string (the reference default,
     zero_shot_classification.rs:717-728) OR a ``label -> hypothesis``
     callable (the ZeroShotTemplate closure, :610).
+
+    ``max_length``: LongestFirst token budget per (premise, hypothesis)
+    pair, the reference's default truncation for this pipeline; None
+    disables (test hook).
 
     - single-label: softmax of the ENTAILMENT logit across labels
       (zero_shot_classification.rs:841-888, scoring :868);
@@ -107,6 +112,17 @@ def classify_zero_shot(
                   else template.format(label) for label in labels]
     premises = [t for t in texts for _ in labels]           # cross join
     hyps = hypotheses * len(texts)                           # (rs:730-738)
+    if max_length is not None:
+        # LongestFirst pair truncation before the model — the reference's
+        # encode_pair_list(..., TruncationStrategy::LongestFirst, ...)
+        # (zero_shot_classification.rs:740-745): token-wise and JOINT, so a
+        # long premise is trimmed only as far as the (short) hypothesis
+        # requires, never a caller-side char clip
+        from .tokenization import encode_pair_truncated
+        pairs = [encode_pair_truncated(p, h, max_length)
+                 for p, h in zip(premises, hyps)]
+        premises = [a for a, _ in pairs]
+        hyps = [b for _, b in pairs]
     logits = nli.forward_pairs(premises, hyps)
     logits = logits.reshape(len(texts), len(labels), 3)      # (rs:856-866)
     if multilabel:
@@ -127,10 +143,21 @@ def classify_zero_shot(
 
 def score_candidates(
     premises: list[str], hypotheses: list[str], nli: StandInNLI,
-    batch_size: int = 64,
+    batch_size: int = 64, max_length: int | None = None,
 ) -> np.ndarray:
     """Entailment probabilities for (premise, hypothesis) pairs, computed in
-    micro-batches of ``batch_size`` like every reference pipeline."""
+    micro-batches of ``batch_size`` like every reference pipeline.
+
+    ``max_length``: when set, each pair is jointly truncated with
+    TruncationStrategy::LongestFirst before scoring — the reference's
+    encode_pair_list path (zero_shot_classification.rs:740-745) truncates
+    token-wise, longer side first, never a caller-side char clip."""
+    if max_length is not None:
+        from .tokenization import encode_pair_truncated
+        pairs = [encode_pair_truncated(p, h, max_length)
+                 for p, h in zip(premises, hypotheses)]
+        premises = [a for a, _ in pairs]
+        hypotheses = [b for _, b in pairs]
     scores = np.empty(len(premises), dtype=np.float64)
     for start in range(0, len(premises), batch_size):
         p = premises[start:start + batch_size]

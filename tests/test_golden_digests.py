@@ -32,7 +32,7 @@ GOLDEN = [
     ("media_image_features", "6b4cc1e1bf337cd4f8d74871a75f7d20", 167),
     ("media_audio_stats", "fb94169b2a426416e915c9661d7adc9c", 167),
     ("media_video_frames", "7c8fad49d7e9393aed6ae5f22952710f", 910),
-    ("kg_zero_shot", "5f2c7592d9ce59c7dadbbfd65bca45ad", 500),
+    ("kg_zero_shot", "a2aa7265f22b7ef5b05c27aa5d3c3494", 500),
     ("kg_doc_embeddings", "4f1c2a9a2d93ab21b6eeb40a4ba10a74", 500),
     ("embedding_ann_topk", "5d149b1c468482ea44716dda1242fd61", 25),
     ("embedding_ivf_topk", "3707f1b0a87af26e2a2d1f853ba23358", 25),

@@ -489,3 +489,56 @@ def test_unigram_gazetteer_agreement():
     tok = UnigramTokenizer.from_words(wordpiece_vocab_words())
     gaz = build_gazetteer(tokenizer=tok)
     assert token_id("Vandelay") in gaz and token_id("Tromsø") in gaz
+
+
+# --------------------------------------------------------------------------
+# LongestFirst pair truncation (TruncationStrategy::LongestFirst — the
+# reference's pair-encode path, zero_shot_classification.rs:740-745,
+# common.rs:2250-2270)
+# --------------------------------------------------------------------------
+
+from kgforge.tokenization import encode_pair_truncated, longest_first_keep
+
+
+def test_longest_first_trims_longer_side_first():
+    # (10, 4) to budget 8: the longer side absorbs all removals down to
+    # the tie, then alternates starting with the first
+    assert longest_first_keep(10, 4, 8) == (4, 4)
+    # tie: first sequence trimmed first
+    assert longest_first_keep(5, 5, 8) == (4, 4)
+    assert longest_first_keep(5, 5, 9) == (4, 5)
+    # already fits: untouched
+    assert longest_first_keep(3, 2, 8) == (3, 2)
+    # degenerate budgets never go negative
+    assert longest_first_keep(2, 2, 0) == (0, 0)
+
+
+def test_encode_pair_truncation_is_token_wise_not_char_wise():
+    # chunk tokenizer: every 2-char word is ONE piece; 11 = 8 content + 3
+    # specials -> premise (8 tokens) keeps 4, hypothesis (4) keeps 4
+    prem = "w0 w1 w2 w3 w4 w5 w6 w7"
+    hyp = "h0 h1 h2 h3"
+    a, b = encode_pair_truncated(prem, hyp, 11)
+    assert a == "w0 w1 w2 w3" and b == hyp
+    # an 8-char word is TWO chunk pieces: truncation may cut mid-word at a
+    # PIECE boundary — proving the budget is tokens, not chars or words
+    prem2 = "abcdefgh " * 8            # 16 pieces of 4 chars
+    a2, b2 = encode_pair_truncated(prem2.strip(), "h0", 8)  # content 5
+    # hypothesis keeps its 1 piece; premise keeps 4 pieces = 2 words
+    assert b2 == "h0"
+    assert a2 == "abcdefgh abcdefgh"
+    a3, _ = encode_pair_truncated(prem2.strip(), "h0", 7)   # content 4
+    assert a3 == "abcdefgh abcd"      # 3 pieces: mid-word piece boundary
+
+
+def test_encode_pair_truncation_short_inputs_untouched():
+    a, b = encode_pair_truncated("Vandelay Holdings", "acquired by", 64)
+    assert a == "Vandelay Holdings" and b == "acquired by"
+
+
+def test_encode_pair_truncation_respects_pluggable_tokenizer():
+    tok = WordPieceTokenizer.from_words(["hello", "world", "label"])
+    # wordpiece: in-vocab words are ONE piece each; budget 2 content
+    a, b = encode_pair_truncated("hello world hello", "label", 6, tokenizer=tok)
+    # (3, 1) -> budget 3: trims premise to 2
+    assert a == "hello world" and b == "label"
