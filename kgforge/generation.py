@@ -143,14 +143,23 @@ class StandInLMHead:
     def encode(self, text: str) -> list[int]:
         return [self.word_id[w] for w in text.split() if w in self.word_id]
 
-    def decode(self, ids: list[int], skip_special_tokens: bool = True) -> str:
+    def decode(self, ids: list[int], skip_special_tokens: bool = True,
+               clean_up_tokenization_spaces: bool = True) -> str:
+        """ids -> text, the reference decode triple (TokenizerOption::decode,
+        common.rs:1397-1430; HF adapter hf_tokenizers.rs:499-510):
+        ``skip_special_tokens`` drops specials AND added language markers,
+        ``clean_up_tokenization_spaces`` applies the published
+        clean_up_tokenization replacement list to the joined text."""
+        from .tokenization import clean_up_tokenization
         words = []
         for i in ids:
             if skip_special_tokens and (i < len(SPECIALS)
                                         or i in self.marker_ids):
                 continue
             words.append(self.vocab[int(i)])
-        return " ".join(words)
+        text = " ".join(words)
+        return clean_up_tokenization(text) if clean_up_tokenization_spaces \
+            else text
 
     def next_logits(self, contexts: list[list[int]],
                     encoder_rows: list[list[int]] | None = None) -> np.ndarray:

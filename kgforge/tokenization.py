@@ -228,6 +228,29 @@ class WordPieceTokenizer:
         return TokenizedInput(pieces, ids, begins, ends, masks)
 
 
+def clean_up_tokenization(text: str) -> str:
+    """The public decode clean-up every reference tokenizer applies when
+    ``clean_up_tokenization_spaces`` is set (rust_tokenizers'
+    clean_up_tokenization, surfaced through TokenizerOption::decode at
+    common.rs:1397-1430): collapse the spaces a whitespace-joined decode
+    leaves before punctuation and English contractions. The replacement
+    list — including the historical ``" do not" -> " don't"`` — is the
+    exact published set; order matters (``" ' "`` before the specific
+    contractions)."""
+    return (text
+            .replace(" .", ".")
+            .replace(" ?", "?")
+            .replace(" !", "!")
+            .replace(" ,", ",")
+            .replace(" ' ", "' ")
+            .replace(" n't", "n't")
+            .replace(" 'm", "'m")
+            .replace(" 's", "'s")
+            .replace(" 've", "'ve")
+            .replace(" 're", "'re")
+            .replace(" do not", " don't"))
+
+
 def longest_first_keep(n_a: int, n_b: int, max_content: int) -> tuple[int, int]:
     """TruncationStrategy::LongestFirst over a pair: remove ONE token at a
     time from the currently-longer sequence until the pair fits

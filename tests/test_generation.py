@@ -631,3 +631,33 @@ def test_no_beam_token_scores_zero_after_finish():
     finished_steps = [s for s in tok[0][n0:] if s == 0.0]
     assert finished_steps                      # masked-to-zero tail exists
     assert all(s == 0.0 for s in tok[0][n0:])
+
+
+def test_decode_cleanup_and_special_token_branches():
+    """The decode triple (TokenizerOption::decode, common.rs:1397-1430):
+    skip_special_tokens drops specials/markers; clean_up_tokenization_spaces
+    applies the published replacement list; encode->decode is idempotent on
+    clean text (no punct-adjacent spaces to collapse)."""
+    from kgforge.generation import StandInLMHead
+    from kgforge.tokenization import clean_up_tokenization
+
+    g = StandInLMHead(["hello", "world", ".", ",", "n't", "do", "not"])
+    # round trip on clean text: whitespace vocab words survive exactly
+    ids = g.encode("hello world")
+    assert g.decode(ids) == "hello world"
+    assert g.decode(g.encode(g.decode(ids))) == "hello world"
+    # cleanup branches: space before punctuation collapses...
+    ids2 = g.encode("hello . world , do not")
+    assert g.decode(ids2, clean_up_tokenization_spaces=False) \
+        == "hello . world , do not"
+    assert g.decode(ids2) == "hello. world, don't"
+    # ...and the raw function covers the contraction set
+    assert clean_up_tokenization("she 's here") == "she's here"
+    assert clean_up_tokenization("they 've gone ?") == "they've gone?"
+    assert clean_up_tokenization("we 're ok ! ca n't stop") \
+        == "we're ok! can't stop"
+    assert clean_up_tokenization("I 'm fine .") == "I'm fine."
+    # skip_special_tokens=False keeps specials in the joined text
+    from kgforge.generation import SPECIALS
+    raw = g.decode([0] + g.encode("hello"), skip_special_tokens=False)
+    assert SPECIALS[0] in raw and "hello" in raw
