@@ -214,3 +214,33 @@ def test_funnel_is_single_scan(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_asof_join_single_scan_single_shuffle(spark):
+    """The as-of join must be ONE union-window pass: one events scan with
+    the event_type filter pushed down, one Exchange (user_id window), and
+    NO join operator — the naive inequality join would plan as a
+    broadcast-nested-loop."""
+    import re
+    from kgforge.queries import q_asof_join
+    plan = _plan(q_asof_join(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_exact_quantiles_shares_median_rank_shape(spark):
+    """exact_quantiles rides the same two-phase rank as exact_median: P-way
+    range partitioning, broadcast offsets join, runtime exchange reuse."""
+    import re
+    from kgforge.queries import q_exact_quantiles
+    df = q_exact_quantiles(spark, SF)
+    plan = _plan(df)
+    parts = [int(m) for m in
+             re.findall(r"rangepartitioning\([^)]*?(\d+)\)", plan)]
+    assert parts and min(parts) >= 16, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final

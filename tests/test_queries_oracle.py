@@ -233,3 +233,49 @@ def test_new_event_queries_on_degenerate_events(spark, tmp_path):
     piv = {r["user_id"]: (r["n_click"], r["n_error"], r["n_signup"], r["n_view"])
            for r in q_pivot_event_counts(spark, sf).collect()}
     assert piv == {1: (0, 1, 1, 0)}
+
+
+def test_asof_and_quantiles_on_degenerate_events(spark, tmp_path):
+    """Edges: a purchase with no prior view joins nothing (inner-asof), a
+    view AFTER the purchase must not match, a same-instant view MUST match
+    (v.ts <= p.ts); quantiles of a single-row group all pick that row."""
+    import pandas as pd
+    from kgforge.queries import q_asof_join, q_exact_quantiles
+
+    ts = pd.Timestamp
+    ev = pd.DataFrame([
+        # user 1: view -> purchase (match, lag 3600s)
+        {"event_id": 0, "ts": ts("2024-01-01 00:00:00"), "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": ts("2024-01-01 01:00:00"), "user_id": 1,
+         "event_type": "purchase", "value": 2.0, "props": "{}"},
+        # user 2: purchase BEFORE its only view -> no match
+        {"event_id": 2, "ts": ts("2024-01-01 00:00:00"), "user_id": 2,
+         "event_type": "purchase", "value": 3.0, "props": "{}"},
+        {"event_id": 3, "ts": ts("2024-01-01 02:00:00"), "user_id": 2,
+         "event_type": "view", "value": 4.0, "props": "{}"},
+        # user 3: same-instant view and purchase -> match, lag 0
+        {"event_id": 4, "ts": ts("2024-01-01 05:00:00"), "user_id": 3,
+         "event_type": "view", "value": 5.0, "props": "{}"},
+        {"event_id": 5, "ts": ts("2024-01-01 05:00:00"), "user_id": 3,
+         "event_type": "purchase", "value": 6.0, "props": "{}"},
+    ])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(f"{tmp_path}/events.parquet")
+    sf = str(tmp_path)
+
+    rows = {r["purchase_id"]: r["lag_sec"]
+            for r in q_asof_join(spark, sf).collect()}
+    assert rows == {1: 3600.0, 5: 0.0}          # purchase 2 absent
+
+    got = {(r["event_type"], r["pct"]): (r["q_value"], r["n_events"])
+           for r in q_exact_quantiles(spark, sf).collect()}
+    # single-value groups: every pct picks the one row (rank 1)
+    for pct in (25, 50, 75, 90):
+        assert got[("purchase", pct)][1] == 3
+    # 3 purchases sorted: 2.0, 3.0, 6.0 -> p25 ceil(.75)=1 -> 2.0,
+    # p50 ceil(1.5)=2 -> 3.0, p75 ceil(2.25)=3 -> 6.0, p90 ceil(2.7)=3 -> 6.0
+    assert got[("purchase", 25)][0] == 2.0
+    assert got[("purchase", 50)][0] == 3.0
+    assert got[("purchase", 75)][0] == 6.0
+    assert got[("purchase", 90)][0] == 6.0
