@@ -378,6 +378,11 @@ WHERE a.doc_id < b.doc_id AND a.lang = b.lang
 """
 
 
+# driver-side union-find ceiling for near-dup clustering (see
+# q_neardup_clusters; tests monkeypatch this to force the distributed branch)
+NEARDUP_COLLECT_THRESHOLD = 200_000
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING + canonical-keeper selection: connected
     components over the banded-Jaccard pair graph (the same distributed
@@ -387,8 +392,43 @@ def q_neardup_clusters(spark, sf_dir):
     components via a recursive-CTE transitive closure, making the
     distributed CC value-exact-gated end-to-end. At 100 TB: pairs are
     band-blocked (never all-pairs), CC is O(log n) shuffle rounds, and the
-    final join is doc_id-keyed."""
-    from .canon import connected_components
+    final join is doc_id-keyed.
+
+    Scale-adaptive physical strategy (the same AQE-style switch the KG
+    pipeline's surface_components uses): the pair graph is threshold-gated
+    (jaccard >= 0.2) and orders of magnitude smaller than the corpus, so
+    under ``collect_threshold`` pairs it is solved driver-side with
+    union-find and mapped back via a broadcast dict + ONE Arrow projection
+    over doc_id — ZERO shuffle of the corpus (stage_link's broadcast-dict
+    map-side pattern). Past the threshold the distributed
+    large-star/small-star operator runs (the 100 TB path). Both branches
+    produce identical values (the driver union-find and the distributed CC
+    are each value-gated against the recursive-CTE oracle)."""
+    from .canon import cc_unionfind, connected_components
+
+    collect_threshold = NEARDUP_COLLECT_THRESHOLD
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # persist, not localCheckpoint: the frame must be releasable once the
+    # graph moves driver-side (CLAUDE.md block-release constraint)
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    if n_pairs <= collect_threshold:
+        comp = cc_unionfind([(int(r["doc_a"]), int(r["doc_b"]))
+                             for r in pairs.collect()])
+        pairs.unpersist(blocking=True)
+        bcomp = spark.sparkContext.broadcast(comp)
+
+        @F.pandas_udf("bigint")
+        def cluster_of(s: pd.Series) -> pd.Series:
+            # Series.map(dict) is a vectorized hash lookup; unmatched docs
+            # are their own singleton cluster
+            return s.map(bcomp.value).fillna(s).astype("int64")
+
+        return (docs
+                .select("doc_id", cluster_of("doc_id").alias("cluster_id"))
+                .withColumn("is_keeper",
+                            F.col("doc_id") == F.col("cluster_id")))
 
     def pad(c):
         # 20 digits: lex order == numeric for every NON-NEGATIVE int64
@@ -399,7 +439,6 @@ def q_neardup_clusters(spark, sf_dir):
         # order-preserving encoding such as offsetting by 2^63 first.
         return F.lpad(F.col(c).cast("string"), 20, "0")
 
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
     edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     # materialize=True: CC localCheckpoints each round (eager jobs run at
     # frame-construction time, inherent to the iterative design); with it
@@ -408,8 +447,9 @@ def q_neardup_clusters(spark, sf_dir):
     mapped = connected_components(edges, materialize=True).select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_id"))
+    pairs.unpersist(blocking=True)
     return (
-        _docs(spark, sf_dir).select("doc_id")
+        docs
         .join(mapped, "doc_id", "left")
         .select("doc_id",
                 F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))

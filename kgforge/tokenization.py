@@ -278,6 +278,11 @@ def encode_pair_truncated(text_a: str, text_b: str, max_length: int,
     text — a real checkpoint would feed the kept ids directly; the
     truncation MATH is identical. Truncation is from the END of each side
     only, like the reference."""
+    # cheap no-op precheck: every token covers >= 1 char, so
+    # len(chars) <= budget guarantees len(tokens) <= budget — the common
+    # short-sentence case skips tokenization entirely (hot NLI path)
+    if len(text_a) + len(text_b) <= max_length - n_special:
+        return text_a, text_b
     ta = (tokenizer.tokenize_with_offsets(text_a) if tokenizer is not None
           else tokenize_with_offsets(text_a))
     tb = (tokenizer.tokenize_with_offsets(text_b) if tokenizer is not None

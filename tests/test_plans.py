@@ -244,3 +244,14 @@ def test_exact_quantiles_shares_median_rank_shape(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, final
+
+
+def test_neardup_driver_branch_maps_without_shuffle(spark):
+    """Under the collect threshold the cluster assignment is a broadcast
+    dict + one Arrow projection over doc_id: ZERO Exchange and no Join in
+    the returned frame's plan (the pair-graph jobs ran eagerly)."""
+    from kgforge.queries import q_neardup_clusters
+    plan = _plan(q_neardup_clusters(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan

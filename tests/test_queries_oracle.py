@@ -279,3 +279,17 @@ def test_asof_and_quantiles_on_degenerate_events(spark, tmp_path):
     assert got[("purchase", 50)][0] == 3.0
     assert got[("purchase", 75)][0] == 6.0
     assert got[("purchase", 90)][0] == 6.0
+
+
+def test_neardup_distributed_branch_matches_driver_branch(spark, monkeypatch):
+    """The scale-adaptive switch must be value-neutral: forcing the
+    distributed large-star/small-star branch (threshold 0) yields exactly
+    the rows the driver union-find branch produces."""
+    from kgforge import queries as q
+
+    want = sorted((r["doc_id"], r["cluster_id"], r["is_keeper"])
+                  for r in q.q_neardup_clusters(spark, SF_DIR).collect())
+    monkeypatch.setattr(q, "NEARDUP_COLLECT_THRESHOLD", 0)
+    got = sorted((r["doc_id"], r["cluster_id"], r["is_keeper"])
+                 for r in q.q_neardup_clusters(spark, SF_DIR).collect())
+    assert got == want and len(got) > 0
