@@ -318,6 +318,11 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--pages", type=int, default=None,
                     help="use the distributed synthetic generator with N pages")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="samples per width in --scaling (best-of-N; the "
+                         "+/-25%% hypervisor noise makes 3 the floor — a "
+                         "2-sample run can swing the efficiency RATIO by "
+                         "0.15 on one lucky/unlucky draw)")
     args = ap.parse_args()
 
     if args.scaling:
@@ -325,7 +330,8 @@ def main() -> None:
         # ~2 CPU-s/worker Python imports), which deflates the wide config's
         # throughput and understates scaling efficiency; real cluster jobs
         # run minutes-hours, so measure where work dominates
-        report = run_scaling(args.sf_dir, n_pages=args.pages or 600_000)
+        report = run_scaling(args.sf_dir, n_pages=args.pages or 600_000,
+                             repeats=args.repeats)
     elif args.kg_only:
         report = run_kg_only(args.sf_dir, args.cpus, n_pages=args.pages)
     else:
