@@ -504,6 +504,108 @@ class ONNXTokenClassifier:
         return np.asarray(logits, dtype=np.float64)
 
 
+class ONNXLayerCache:
+    """Port of ONNXLayerCache (onnx/models.rs:1106-1129): the named
+    key/value tensors a decoder session emitted, fed back verbatim on the
+    next step. Built from a session's outputs by keeping every output
+    whose name contains ``key`` or ``value`` (the reference's
+    from_ort_output filter)."""
+
+    def __init__(self, values: dict[str, np.ndarray]):
+        self.values = dict(values)
+
+    @classmethod
+    def from_session_output(cls, output_names, outputs) -> "ONNXLayerCache":
+        return cls({n: o for n, o in zip(output_names, outputs)
+                    if ("key" in n) or ("value" in n)})
+
+
+class ONNXCausalDecoder:
+    """Port of ONNXCausalGenerator's two-session decode contract
+    (onnx/models.rs:218-287 construction, :372-425 dispatch) plus
+    ONNXDecoder's feed assembly (onnx/decoder.rs:34-110): the initial step
+    runs ``decoder_without_past`` over the full sequence; subsequent steps
+    run ``decoder_with_past`` over ONLY the new token, feeding the cached
+    keys/values back under the session's ``past*`` input names (resolved
+    via the reference's two name rewrites, ``past -> present`` then
+    ``past_key_values -> present``). When only one session is loaded the
+    reference's fallbacks apply verbatim, including re-running the full
+    sequence on the no-past session despite a cache being available.
+
+    Like ONNXTokenClassifier, this wraps anything with the
+    ``onnxruntime.InferenceSession`` surface (plus ``get_outputs``) — the
+    contract test drives it with a mock session and pins that incremental
+    cached decode is bit-identical to full re-decode."""
+
+    CANONICAL = ("input_ids", "attention_mask", "position_ids")
+
+    def __init__(self, decoder_without_past=None, decoder_with_past=None,
+                 logits_output: str = "logits"):
+        if decoder_without_past is None and decoder_with_past is None:
+            raise ValueError(
+                "Must provide at least one of `decoder_without_past_file`, "
+                "`decoder_with_past_file`, both set to None")
+        self.decoder_without_past = decoder_without_past
+        self.decoder_with_past = decoder_with_past
+        self.logits_output = logits_output
+        self.use_past = decoder_with_past is not None
+
+    def _run(self, session, input_ids: np.ndarray, attention_mask: np.ndarray,
+             position_ids: np.ndarray,
+             cache: "ONNXLayerCache | None"):
+        available = {
+            "input_ids": input_ids.astype(np.int64),
+            "attention_mask": attention_mask.astype(np.int64),
+            "position_ids": position_ids.astype(np.int64),
+        }
+        feed = {}
+        for name in (i.name for i in session.get_inputs()):
+            if name in available:
+                feed[name] = available[name]
+                continue
+            # decoder.rs:74-95: unknown inputs are cache tensors
+            if cache is None:
+                raise ValueError(f"{name} not found and cache was not provided.")
+            v = cache.values.get(name.replace("past", "present"))
+            if v is None:
+                v = cache.values.get(name.replace("past_key_values", "present"))
+            if v is None:
+                found = sorted(cache.values)
+                raise ValueError(f"{name} not found in cache ({found}).")
+            feed[name] = v
+        out_names = [o.name for o in session.get_outputs()]
+        outputs = session.run(None, feed)
+        logits = np.asarray(outputs[out_names.index(self.logits_output)],
+                            dtype=np.float64)
+        return logits, ONNXLayerCache.from_session_output(out_names, outputs)
+
+    def forward(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+                cache: "ONNXLayerCache | None" = None,
+                position_ids: np.ndarray | None = None):
+        """-> (logits, new_cache). Dispatch port of onnx/models.rs:386-425.
+        ``input_ids`` is the full sequence without cache, or only the new
+        token(s) with one; position ids, when absent, increment from the
+        past length (models.rs:299)."""
+        b, t = input_ids.shape
+        past_len = attention_mask.shape[1] - t
+        if position_ids is None:
+            position_ids = np.tile(np.arange(past_len, past_len + t,
+                                             dtype=np.int64), (b, 1))
+        if cache is None:
+            if self.decoder_without_past is not None:
+                return self._run(self.decoder_without_past, input_ids,
+                                 attention_mask, position_ids, None)
+            raise ValueError(
+                "No decoder_without_cache loaded and no cache provided.")
+        if self.decoder_with_past is not None:
+            return self._run(self.decoder_with_past, input_ids,
+                             attention_mask, position_ids, cache)
+        # models.rs:406-415: cache given but no with-past session — the
+        # caller must pass the FULL sequence again; the cache is unused
+        return self._run(self.decoder_without_past, input_ids,
+                         attention_mask, position_ids, None)
+
+
 def try_onnx_session(model_path: str):
     """Gated construction: returns an ``InferenceSession`` when onnxruntime
     is installed (a real cluster), None in this sandbox (verified absent).
