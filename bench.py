@@ -39,6 +39,8 @@ HEADLINE = [
     "embedding_ivf_topk",  # IVF ANN: train/assign/probe
     "doc_token_count",
     "sessionize",
+    "asof_join",           # union-window as-of (one shuffle)
+    "exact_quantiles",     # two-phase rank, 4 quantiles one pass
     "topk_per_group",
     "broadcast_join",
 ]
