@@ -118,13 +118,13 @@ def simhash32(words: list[str]) -> int:
 def h32_sql(word_expr: str, engine: str) -> str:
     """The identical polynomial hash in SQL. engine: 'spark' | 'duckdb'.
 
-    BMP-ONLY assumption: Spark's ascii(substring(s, i, 1)) returns the
-    UTF-16 code unit, which for astral-plane characters (emoji, rare CJK)
-    is a surrogate half, while DuckDB unicode() and Python ord() return the
-    full code point — astral input would desync the three engines. The
-    synthetic corpus is BMP-only; for astral-safe hashing the Spark side
-    would need a code-point expression (e.g. via char-array decode), at
-    which point regenerate any pinned digests."""
+    Astral-safe, verified empirically (test_h32_sql_astral_cross_engine):
+    Spark strings are UTF8String with CODE-POINT semantics, so
+    ascii(substring(s, i, 1)) returns the full code point for astral-plane
+    characters (U+1F600 -> 128512), matching DuckDB unicode() and Python
+    ord() exactly — NOT the UTF-16 surrogate half a JVM String.charAt
+    mental model would predict. All three engines hash any Unicode input
+    identically."""
     if engine == "spark":
         chars = f"transform(sequence(1, length({word_expr})), i -> ascii(substring({word_expr}, i, 1)))"
         return f"aggregate({chars}, cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 4294967296)"

@@ -155,3 +155,22 @@ def test_kgram_rolling_hash_property():
         assert kgram_hashes(t, k) == naive
 
     check()
+
+
+def test_h32_sql_astral_cross_engine(spark):
+    """Astral-plane regression: Spark's UTF8String is code-point-based, so
+    ascii(substring(...)) yields full code points (not UTF-16 surrogate
+    halves) — Python, Spark and DuckDB hash '😀' identically. Pins the
+    verified engine behavior the h32_sql docstring asserts."""
+    import duckdb
+    from kgforge.textops import h32, h32_sql
+
+    word = "a😀中"
+    want = h32(word)
+    got_spark = spark.sql(
+        f"SELECT {h32_sql(chr(39) + word + chr(39), 'spark')} AS h"
+    ).collect()[0]["h"]
+    got_duck = duckdb.connect().execute(
+        f"SELECT {h32_sql(chr(39) + word + chr(39), 'duckdb')} AS h"
+    ).fetchone()[0]
+    assert got_spark == want and got_duck == want
