@@ -208,7 +208,7 @@ def run_kg_only(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
 
 
 def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
-                n_pages: int = 600_000, repeats: int = 2,
+                n_pages: int = 600_000, repeats: int = 3,
                 samples_out: dict | None = None) -> dict:
     """N vs 4N parallelism evidence (north rule).
 

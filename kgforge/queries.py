@@ -421,9 +421,16 @@ def q_neardup_clusters(spark, sf_dir):
 
         @F.pandas_udf("bigint")
         def cluster_of(s: pd.Series) -> pd.Series:
-            # Series.map(dict) is a vectorized hash lookup; unmatched docs
+            # int64-exact lookup: map ONLY the matched subset (a whole-
+            # series map would upcast everything to float64 the moment one
+            # id misses, silently rounding ids above 2^53); unmatched docs
             # are their own singleton cluster
-            return s.map(bcomp.value).fillna(s).astype("int64")
+            m = bcomp.value
+            out = s.copy()
+            hit = s.isin(m)
+            if hit.any():
+                out[hit] = s[hit].map(m).astype("int64")
+            return out
 
         return (docs
                 .select("doc_id", cluster_of("doc_id").alias("cluster_id"))

@@ -242,7 +242,7 @@ def clean_up_tokenization(text: str) -> str:
             .replace(" ?", "?")
             .replace(" !", "!")
             .replace(" ,", ",")
-            .replace(" ' ", "' ")
+            .replace(" ' ", "'")
             .replace(" n't", "n't")
             .replace(" 'm", "'m")
             .replace(" 's", "'s")
@@ -254,49 +254,78 @@ def clean_up_tokenization(text: str) -> str:
 def longest_first_keep(n_a: int, n_b: int, max_content: int) -> tuple[int, int]:
     """TruncationStrategy::LongestFirst over a pair: remove ONE token at a
     time from the currently-longer sequence until the pair fits
-    ``max_content``; ties trim the FIRST sequence. This is the public
-    truncation algorithm the reference selects for every pair-encode path
-    (encode_pair_list at zero_shot_classification.rs:740-745,
-    tokenize_and_pad at common.rs:2250-2270). Token-level, not char-level:
-    the budget is in TOKENS of whatever tokenizer encodes the pair."""
+    ``max_content``; on a LENGTH TIE the SECOND sequence is trimmed (the
+    published loop's strict ``len_1 > len_2`` test picks sequence 2
+    otherwise). This is the public truncation algorithm the reference
+    selects for every pair-encode path (encode_pair_list at
+    zero_shot_classification.rs:740-745, tokenize_and_pad at
+    common.rs:2250-2270). Token-level, not char-level: the budget is in
+    TOKENS of whatever tokenizer encodes the pair."""
     keep_a, keep_b = n_a, n_b
     for _ in range(max(keep_a + keep_b - max_content, 0)):
-        if keep_a >= keep_b:
+        if keep_a > keep_b:
             keep_a -= 1
         else:
             keep_b -= 1
     return max(keep_a, 0), max(keep_b, 0)
 
 
+def truncate_pairs(texts_a: list[str], texts_b: list[str], max_length: int,
+                   n_special: int = 3, tokenizer=None
+                   ) -> tuple[list[str], list[str]]:
+    """Joint LongestFirst truncation over a BATCH of (premise, hypothesis)
+    pairs — the shared hot-path form behind score_candidates and
+    classify_zero_shot. Each UNIQUE text is tokenized once (zero-shot
+    repeats every premise once per label; its token list is
+    label-independent), then the per-pair LongestFirst math is cheap.
+
+    The char-count precheck (len(chars) <= budget implies len(tokens) <=
+    budget) applies ONLY to the default chunk tokenizer, where every piece
+    covers >= 1 char; byte-level BPE emits up to 4 tokens per char, so a
+    pluggable tokenizer always takes the tokenize path."""
+    budget = max_length - n_special
+    cache: dict[str, TokenizedInput] = {}
+
+    def tok(t: str) -> TokenizedInput:
+        got = cache.get(t)
+        if got is None:
+            got = (tokenizer.tokenize_with_offsets(t) if tokenizer is not None
+                   else tokenize_with_offsets(t))
+            cache[t] = got
+        return got
+
+    def cut(text, ti, keep):
+        if keep >= len(ti.ids):
+            return text
+        return text[:ti.ends[keep - 1]] if keep > 0 else ""
+
+    out_a: list[str] = []
+    out_b: list[str] = []
+    for a, b in zip(texts_a, texts_b):
+        if tokenizer is None and len(a) + len(b) <= budget:
+            out_a.append(a)
+            out_b.append(b)
+            continue
+        ta, tb = tok(a), tok(b)
+        keep_a, keep_b = longest_first_keep(len(ta.ids), len(tb.ids), budget)
+        out_a.append(cut(a, ta, keep_a))
+        out_b.append(cut(b, tb, keep_b))
+    return out_a, out_b
+
+
 def encode_pair_truncated(text_a: str, text_b: str, max_length: int,
                           n_special: int = 3, tokenizer=None) -> tuple[str, str]:
-    """Joint premise/hypothesis truncation for the NLI/zero-shot stage:
-    tokenize both sides, apply LongestFirst to the content budget
-    ``max_length - n_special`` (BERT pair layout [CLS] A [SEP] B [SEP] ->
-    3 specials), and slice each ORIGINAL text at its last kept token's end
-    offset. Returns surface strings because the stand-in NLI head consumes
-    text — a real checkpoint would feed the kept ids directly; the
-    truncation MATH is identical. Truncation is from the END of each side
-    only, like the reference."""
-    # cheap no-op precheck: every token covers >= 1 char, so
-    # len(chars) <= budget guarantees len(tokens) <= budget — the common
-    # short-sentence case skips tokenization entirely (hot NLI path)
-    if len(text_a) + len(text_b) <= max_length - n_special:
-        return text_a, text_b
-    ta = (tokenizer.tokenize_with_offsets(text_a) if tokenizer is not None
-          else tokenize_with_offsets(text_a))
-    tb = (tokenizer.tokenize_with_offsets(text_b) if tokenizer is not None
-          else tokenize_with_offsets(text_b))
-    keep_a, keep_b = longest_first_keep(len(ta.ids), len(tb.ids),
-                                        max_length - n_special)
-
-    def cut(text, tok, keep, total):
-        if keep >= total:
-            return text
-        return text[:tok.ends[keep - 1]] if keep > 0 else ""
-
-    return (cut(text_a, ta, keep_a, len(ta.ids)),
-            cut(text_b, tb, keep_b, len(tb.ids)))
+    """Single-pair form of ``truncate_pairs``: tokenize both sides, apply
+    LongestFirst to the content budget ``max_length - n_special`` (BERT
+    pair layout [CLS] A [SEP] B [SEP] -> 3 specials), and slice each
+    ORIGINAL text at its last kept token's end offset. Returns surface
+    strings because the stand-in NLI head consumes text — a real
+    checkpoint would feed the kept ids directly; the truncation MATH is
+    identical. Truncation is from the END of each side only, like the
+    reference."""
+    (a,), (b,) = truncate_pairs([text_a], [text_b], max_length,
+                                n_special, tokenizer)
+    return a, b
 
 
 def _bytes_to_unicode() -> dict[int, str]:

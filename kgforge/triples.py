@@ -117,12 +117,10 @@ def classify_zero_shot(
         # encode_pair_list(..., TruncationStrategy::LongestFirst, ...)
         # (zero_shot_classification.rs:740-745): token-wise and JOINT, so a
         # long premise is trimmed only as far as the (short) hypothesis
-        # requires, never a caller-side char clip
-        from .tokenization import encode_pair_truncated
-        pairs = [encode_pair_truncated(p, h, max_length)
-                 for p, h in zip(premises, hyps)]
-        premises = [a for a, _ in pairs]
-        hyps = [b for _, b in pairs]
+        # requires, never a caller-side char clip. The batch form
+        # tokenizes each unique premise once, not once per label.
+        from .tokenization import truncate_pairs
+        premises, hyps = truncate_pairs(premises, hyps, max_length)
     logits = nli.forward_pairs(premises, hyps)
     logits = logits.reshape(len(texts), len(labels), 3)      # (rs:856-866)
     if multilabel:
@@ -153,11 +151,8 @@ def score_candidates(
     encode_pair_list path (zero_shot_classification.rs:740-745) truncates
     token-wise, longer side first, never a caller-side char clip."""
     if max_length is not None:
-        from .tokenization import encode_pair_truncated
-        pairs = [encode_pair_truncated(p, h, max_length)
-                 for p, h in zip(premises, hypotheses)]
-        premises = [a for a, _ in pairs]
-        hypotheses = [b for _, b in pairs]
+        from .tokenization import truncate_pairs
+        premises, hypotheses = truncate_pairs(premises, hypotheses, max_length)
     scores = np.empty(len(premises), dtype=np.float64)
     for start in range(0, len(premises), batch_size):
         p = premises[start:start + batch_size]

@@ -653,6 +653,7 @@ def test_decode_cleanup_and_special_token_branches():
     assert g.decode(ids2) == "hello. world, don't"
     # ...and the raw function covers the contraction set
     assert clean_up_tokenization("she 's here") == "she's here"
+    assert clean_up_tokenization("it ' s odd") == "it's odd"   # " ' " -> "'"
     assert clean_up_tokenization("they 've gone ?") == "they've gone?"
     assert clean_up_tokenization("we 're ok ! ca n't stop") \
         == "we're ok! can't stop"

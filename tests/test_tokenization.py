@@ -502,11 +502,12 @@ from kgforge.tokenization import encode_pair_truncated, longest_first_keep
 
 def test_longest_first_trims_longer_side_first():
     # (10, 4) to budget 8: the longer side absorbs all removals down to
-    # the tie, then alternates starting with the first
+    # the tie, then alternates
     assert longest_first_keep(10, 4, 8) == (4, 4)
-    # tie: first sequence trimmed first
+    # tie: the SECOND sequence is trimmed (the published strict
+    # len_1 > len_2 test picks sequence 2 otherwise)
     assert longest_first_keep(5, 5, 8) == (4, 4)
-    assert longest_first_keep(5, 5, 9) == (4, 5)
+    assert longest_first_keep(5, 5, 9) == (5, 4)
     # already fits: untouched
     assert longest_first_keep(3, 2, 8) == (3, 2)
     # degenerate budgets never go negative
@@ -542,3 +543,32 @@ def test_encode_pair_truncation_respects_pluggable_tokenizer():
     a, b = encode_pair_truncated("hello world hello", "label", 6, tokenizer=tok)
     # (3, 1) -> budget 3: trims premise to 2
     assert a == "hello world" and b == "label"
+
+
+def test_truncation_precheck_gated_off_for_byte_level_bpe():
+    """Regression: the chars<=budget precheck is sound only for tokenizers
+    with >=1 char per piece. Byte-level BPE emits up to 4 tokens per char,
+    so a 60-char CJK premise (180 byte tokens) must STILL truncate."""
+    tok = BPETokenizer([])
+    text = "日" * 60                     # 180 byte tokens, 60 chars
+    a, b = encode_pair_truncated(text, "x", 128, tokenizer=tok)
+    kept = tok.tokenize_with_offsets(a)
+    # the surface cut is CHAR-granular: a partially-kept multibyte char is
+    # rounded up to its full char, so re-tokenizing may exceed the token
+    # budget by at most bytes_per_char - 1 (a real checkpoint feeds the
+    # kept ids directly and is exact)
+    assert len(kept.ids) + 1 <= 125 + 3
+    assert a != text                    # actually truncated (was 180 tokens)
+    # the default chunk tokenizer still takes the cheap no-op path
+    a2, b2 = encode_pair_truncated("short premise", "tiny", 128)
+    assert (a2, b2) == ("short premise", "tiny")
+
+
+def test_truncate_pairs_batch_matches_single_pair_form():
+    from kgforge.tokenization import truncate_pairs
+    ps = ["w0 w1 w2 w3 w4 w5 w6 w7", "a b", "w0 w1 w2 w3 w4 w5 w6 w7"]
+    hs = ["h0 h1 h2 h3", "c", "h0"]
+    got_a, got_b = truncate_pairs(ps, hs, 11)
+    for p, h, ga, gb in zip(ps, hs, got_a, got_b):
+        ea, eb = encode_pair_truncated(p, h, 11)
+        assert (ga, gb) == (ea, eb)
