@@ -137,6 +137,72 @@ def stream_dedup_pages_within_watermark(pages: DataFrame,
     )
 
 
+def stream_asof_enrich(events: DataFrame) -> DataFrame:
+    """Streaming as-of enrichment — attribution at ingest, the streaming
+    sibling of the batch ``asof_join`` operator: every 'purchase' event is
+    emitted with the latest 'view' timestamp of the SAME user at or before
+    it, via ``applyInPandasWithState``.
+
+    Scale shape: per-user state is ONE double (the max view tsec seen) —
+    state is bounded by user cardinality, never event volume, and each
+    batch writes state only for users who viewed in that batch. Within a
+    micro-batch the group's rows are processed in event-time order (ties:
+    views before purchases, matching the batch operator's ``v.ts <= p.ts``
+    semantics), so on an in-order stream the emitted rows equal the batch
+    ``q_asof_join`` over the union of all batches — pytest-pinned parity.
+    A view arriving in a LATER batch than the purchase cannot retro-enrich
+    it (append semantics; same class of trade-off the watermark dedup
+    documents — bound upstream lateness if that matters). Purchases with
+    no prior view are dropped, like the batch operator's inner as-of."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType
+
+    out_schema = StructType([
+        StructField("purchase_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("purchase_tsec", DoubleType()),
+        StructField("view_tsec", DoubleType()),
+        StructField("lag_sec", DoubleType()),
+    ])
+    state_schema = StructType([StructField("last_view", DoubleType())])
+
+    def enrich(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order; kind puts same-instant views before purchases
+        batch = batch.sort_values(["tsec", "kind", "event_id"])
+        out: dict[str, list] = {c: [] for c in
+                                ("purchase_id", "user_id", "purchase_tsec",
+                                 "view_tsec", "lag_sec")}
+        saw_view = False
+        for r in batch.itertuples():
+            if r.kind == 0:                       # view
+                if last is None or r.tsec > last:
+                    last = float(r.tsec)
+                    saw_view = True
+            elif last is not None:                # purchase with a prior view
+                out["purchase_id"].append(int(r.event_id))
+                out["user_id"].append(int(key[0]))
+                out["purchase_tsec"].append(float(r.tsec))
+                out["view_tsec"].append(float(last))
+                out["lag_sec"].append(float(r.tsec) - float(last))
+        if saw_view:                              # O(viewing users) writes
+            state.update((float(last),))
+        if out["purchase_id"]:
+            yield pd.DataFrame(out)
+
+    ev = (events
+          .where(F.col("event_type").isin("view", "purchase"))
+          .select("user_id", "event_id",
+                  F.expr("cast(to_utc_timestamp(ts, 'UTC') as double)")
+                   .alias("tsec"),
+                  F.when(F.col("event_type") == "view", 0).otherwise(1)
+                   .alias("kind")))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        enrich, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+
 def run_triples_stream(
     spark: SparkSession,
     in_path: str,

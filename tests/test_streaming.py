@@ -291,3 +291,88 @@ def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
     state4 = run_once()
     assert spark.read.parquet(outdir).count() == 5
     assert state4 <= 2        # alpha/beta/gamma expired; delta+epsilon held
+
+
+def test_stream_asof_enrich_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming as-of enrichment: (a) within a batch, purchases pick the
+    latest view at-or-before them (same-instant view counts); (b) per-user
+    state carries the last view ACROSS batches and restarts; (c) on an
+    in-order stream the union of emitted rows equals the batch q_asof_join
+    over all events seen."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    from kgforge.queries import q_asof_join
+    from kgforge.streaming import stream_asof_enrich
+
+    ev_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(eid, ts(m), u, et, 1.0, "{}") for eid, m, u, et in rows],
+            schema=ev_schema).coalesce(1).write.mode("append").parquet(indir)
+
+    def run_once():
+        stream = stream_asof_enrich(
+            spark.readStream.schema(ev_schema).format("parquet").load(indir))
+        q = (stream.writeStream.format("parquet")
+             .option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    # batch 1: u1 view@0 -> purchase@60 (match); u2 purchase@10 with no
+    # prior view (dropped); u3 view@5 and SAME-INSTANT purchase@5 (tie
+    # counts, lag 0)
+    b1 = [(0, 0, 1, "view"), (1, 60, 1, "purchase"),
+          (2, 10, 2, "purchase"),
+          (3, 5, 3, "view"), (4, 5, 3, "purchase")]
+    write_batch(b1)
+    run_once()
+    got1 = {r["purchase_id"]: r["lag_sec"]
+            for r in spark.read.parquet(outdir).collect()}
+    assert got1 == {1: 3600.0, 4: 0.0}
+
+    # batch 2 (fresh query, same checkpoint): u1 purchases again with no new
+    # view -> enriched from CROSS-BATCH state; u2's view finally arrives,
+    # then a purchase -> enriched within the batch
+    b2 = [(5, 120, 1, "purchase"),
+          (6, 70, 2, "view"), (7, 90, 2, "purchase")]
+    write_batch(b2)
+    run_once()
+    got2 = {r["purchase_id"]: r["lag_sec"]
+            for r in spark.read.parquet(outdir).collect()}
+    assert got2 == {1: 3600.0, 4: 0.0, 5: 7200.0, 7: 1200.0}
+
+    # batch parity: the streamed union equals the batch as-of join over the
+    # full event set (batch 2's events all have later ts than batch 1's for
+    # each user, so the stream saw them in order)
+    import os
+    sf = str(tmp_path / "batchsf")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        [{"event_id": eid, "ts": ts(m), "user_id": u, "event_type": et,
+          "value": 1.0, "props": "{}"} for eid, m, u, et in b1 + b2]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(f"{sf}/events.parquet")
+    want = {r["purchase_id"]: r["lag_sec"]
+            for r in q_asof_join(spark, sf).collect()}
+    assert got2 == want
