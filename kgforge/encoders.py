@@ -520,6 +520,36 @@ class ONNXLayerCache:
                     if ("key" in n) or ("value" in n)})
 
 
+def _run_decoder_session(session, available: dict, cache,
+                         logits_output: str):
+    """ONNXDecoder's feed assembly (onnx/decoder.rs:48-110), shared by the
+    causal and the conditional (seq2seq) decode paths: offer the tensors we
+    have under their canonical names, feed exactly what the session
+    declares, and resolve every remaining declared input from the KV cache
+    via the reference's two name rewrites (``past -> present``, then
+    ``past_key_values -> present``)."""
+    feed = {}
+    for name in (i.name for i in session.get_inputs()):
+        if name in available:
+            feed[name] = available[name]
+            continue
+        # decoder.rs:74-95: unknown inputs are cache tensors
+        if cache is None:
+            raise ValueError(f"{name} not found and cache was not provided.")
+        v = cache.values.get(name.replace("past", "present"))
+        if v is None:
+            v = cache.values.get(name.replace("past_key_values", "present"))
+        if v is None:
+            found = sorted(cache.values)
+            raise ValueError(f"{name} not found in cache ({found}).")
+        feed[name] = v
+    out_names = [o.name for o in session.get_outputs()]
+    outputs = session.run(None, feed)
+    logits = np.asarray(outputs[out_names.index(logits_output)],
+                        dtype=np.float64)
+    return logits, ONNXLayerCache.from_session_output(out_names, outputs)
+
+
 class ONNXCausalDecoder:
     """Port of ONNXCausalGenerator's two-session decode contract
     (onnx/models.rs:218-287 construction, :372-425 dispatch) plus
@@ -558,26 +588,8 @@ class ONNXCausalDecoder:
             "attention_mask": attention_mask.astype(np.int64),
             "position_ids": position_ids.astype(np.int64),
         }
-        feed = {}
-        for name in (i.name for i in session.get_inputs()):
-            if name in available:
-                feed[name] = available[name]
-                continue
-            # decoder.rs:74-95: unknown inputs are cache tensors
-            if cache is None:
-                raise ValueError(f"{name} not found and cache was not provided.")
-            v = cache.values.get(name.replace("past", "present"))
-            if v is None:
-                v = cache.values.get(name.replace("past_key_values", "present"))
-            if v is None:
-                found = sorted(cache.values)
-                raise ValueError(f"{name} not found in cache ({found}).")
-            feed[name] = v
-        out_names = [o.name for o in session.get_outputs()]
-        outputs = session.run(None, feed)
-        logits = np.asarray(outputs[out_names.index(self.logits_output)],
-                            dtype=np.float64)
-        return logits, ONNXLayerCache.from_session_output(out_names, outputs)
+        return _run_decoder_session(session, available, cache,
+                                    self.logits_output)
 
     def forward(self, input_ids: np.ndarray, attention_mask: np.ndarray,
                 cache: "ONNXLayerCache | None" = None,
@@ -604,6 +616,156 @@ class ONNXCausalDecoder:
         # caller must pass the FULL sequence again; the cache is unused
         return self._run(self.decoder_without_past, input_ids,
                          attention_mask, position_ids, None)
+
+
+class ONNXEncoderOutput:
+    """ONNXEncoderModelOutput (onnx/encoder.rs:212-226): every field is
+    optional — the exported model decides which named outputs exist."""
+
+    __slots__ = ("last_hidden_state", "logits", "start_logits", "end_logits")
+
+    def __init__(self, last_hidden_state=None, logits=None,
+                 start_logits=None, end_logits=None):
+        self.last_hidden_state = last_hidden_state
+        self.logits = logits
+        self.start_logits = start_logits
+        self.end_logits = end_logits
+
+
+class ONNXEncoder:
+    """Port of ONNXEncoder (onnx/encoder.rs:17-210): a session wrapper for
+    pure-encoder models or the encoder half of a seq2seq stack. The forward
+    offers the canonical tensor names the caller has (input_ids,
+    attention_mask, token_type_ids, position_ids, input_embeds); a session
+    input that was not offered raises the reference's "{name} not found but
+    expected by model." error (encoder.rs:141-148 — the encoder has no
+    cache to fall back to, unlike ONNXDecoder). Outputs are extracted by
+    canonical name; absent names stay None."""
+
+    CANONICAL = ("input_ids", "attention_mask", "token_type_ids",
+                 "position_ids", "input_embeds")
+
+    def __init__(self, session):
+        self.session = session
+        self.input_names = [i.name for i in session.get_inputs()]
+
+    def forward(self, input_ids=None, attention_mask=None,
+                token_type_ids=None, position_ids=None,
+                input_embeds=None) -> ONNXEncoderOutput:
+        offered = {
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+            "token_type_ids": token_type_ids,
+            "position_ids": position_ids,
+            "input_embeds": input_embeds,
+        }
+        feed = {}
+        for name in self.input_names:
+            v = offered.get(name)
+            if v is None:
+                raise ValueError(f"{name} not found but expected by model.")
+            feed[name] = (np.asarray(v) if name == "input_embeds"
+                          else np.asarray(v, dtype=np.int64))
+        out_names = [o.name for o in self.session.get_outputs()]
+        outputs = self.session.run(None, feed)
+        by_name = dict(zip(out_names, outputs))
+        return ONNXEncoderOutput(
+            last_hidden_state=by_name.get("last_hidden_state"),
+            logits=by_name.get("logits"),
+            start_logits=by_name.get("start_logits"),
+            end_logits=by_name.get("end_logits"))
+
+
+class ONNXConditionalGenerator:
+    """Port of the seq2seq ONNX generation stack, ONNXConditionalGenerator
+    (onnx/models.rs:558-847 construction, :900-983 forward dispatch): an
+    encoder session plus up to two decoder sessions whose feed carries
+    ``encoder_hidden_states`` / ``encoder_attention_mask`` (the
+    cross-attention inputs, onnx/decoder.rs:44-68) alongside the decoder
+    ids and — on the with-past session — the cross+self-attention KV cache.
+
+    Decode contract (mirrors prepare_inputs_for_generation,
+    models.rs:1052-1080): the first step runs ``decoder_without_past`` over
+    the full target prefix; when a with-past session exists, later steps
+    feed ONLY the newest target token plus the returned cache; when it
+    does not, the caller re-feeds the full target prefix and the cache is
+    ignored (models.rs:963-974 fallback). Encoder states are computed once
+    and reused every step (the generation loop passes them back in).
+
+    Like the causal stack, wraps anything with the
+    ``onnxruntime.InferenceSession`` surface; the contract test drives it
+    with mock sessions and pins cached incremental decode bit-identical to
+    full re-decode *with encoder states*."""
+
+    def __init__(self, encoder_session, decoder_without_past=None,
+                 decoder_with_past=None, logits_output: str = "logits"):
+        if decoder_without_past is None and decoder_with_past is None:
+            raise ValueError(
+                "Must provide at least one of `decoder_without_past_file`, "
+                "`decoder_with_past_file`, both set to None")
+        self.encoder = ONNXEncoder(encoder_session)
+        self.decoder_without_past = decoder_without_past
+        self.decoder_with_past = decoder_with_past
+        self.logits_output = logits_output
+        # models.rs:846: use_past <=> a with-past session was provided
+        self.use_past = decoder_with_past is not None
+
+    def encode(self, input_ids: np.ndarray,
+               attention_mask: np.ndarray | None = None) -> np.ndarray:
+        """PrivateLanguageGenerator::encode (models.rs:1046-1050): one
+        encoder pass -> last_hidden_state, computed once per generation."""
+        out = self.encoder.forward(input_ids=input_ids,
+                                   attention_mask=attention_mask)
+        if out.last_hidden_state is None:
+            raise ValueError(
+                "`last_hidden_state` not found in ONNX model outputs.")
+        return np.asarray(out.last_hidden_state)
+
+    def _run_decoder(self, session, decoder_input_ids, attention_mask,
+                     encoder_hidden_states, encoder_attention_mask, cache):
+        available = {
+            "input_ids": np.asarray(decoder_input_ids, dtype=np.int64),
+            "encoder_hidden_states": np.asarray(encoder_hidden_states),
+            "encoder_attention_mask": np.asarray(encoder_attention_mask,
+                                                 dtype=np.int64),
+        }
+        if attention_mask is not None:
+            available["attention_mask"] = np.asarray(attention_mask,
+                                                     dtype=np.int64)
+        return _run_decoder_session(session, available, cache,
+                                    self.logits_output)
+
+    def forward(self, input_ids=None, attention_mask=None,
+                encoder_hidden_states=None, encoder_attention_mask=None,
+                decoder_input_ids=None, cache: "ONNXLayerCache | None" = None):
+        """-> (logits, new_cache). Dispatch port of models.rs:900-983:
+        encoder states are computed from ``input_ids`` when not passed in
+        (models.rs:906-918), the encoder attention mask defaults to ones
+        over the states' (batch, source_len) (models.rs:920-931), then the
+        decoder session is picked by (without_past, with_past, cache)."""
+        if encoder_hidden_states is None:
+            encoder_hidden_states = self.encode(input_ids,
+                                                encoder_attention_mask)
+        if encoder_attention_mask is None:
+            b, s = np.asarray(encoder_hidden_states).shape[:2]
+            encoder_attention_mask = np.ones((b, s), dtype=np.int64)
+        if cache is None:
+            if self.decoder_without_past is not None:
+                return self._run_decoder(
+                    self.decoder_without_past, decoder_input_ids,
+                    attention_mask, encoder_hidden_states,
+                    encoder_attention_mask, None)
+            raise ValueError(
+                "No decoder_without_cache loaded and no cache provided.")
+        if self.decoder_with_past is not None:
+            return self._run_decoder(
+                self.decoder_with_past, decoder_input_ids, attention_mask,
+                encoder_hidden_states, encoder_attention_mask, cache)
+        # models.rs:963-974: cache given but no with-past session — the
+        # caller must pass the FULL target prefix again; cache unused
+        return self._run_decoder(
+            self.decoder_without_past, decoder_input_ids, attention_mask,
+            encoder_hidden_states, encoder_attention_mask, None)
 
 
 def try_onnx_session(model_path: str):

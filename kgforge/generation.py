@@ -832,3 +832,91 @@ class Summarizer:
     def summarize(self, texts: list[str]) -> list[str]:
         return [self.head.decode(ids)
                 for ids, _ in generate_ids(self.head, texts, self.cfg)]
+
+
+# --------------------------------------------------------------------------
+# seq2seq ONNX swap path (#23): ONNXConditionalGenerator behind the head
+# protocol, so Summarizer/Translator/ConversationModel swap by construction
+# --------------------------------------------------------------------------
+
+class ONNXSeq2SeqLMHead(StandInLMHead):
+    """ONNX-served drop-in for the encoder-decoder ``StandInLMHead`` — the
+    real-runtime swap path for the seq2seq pipelines (#20 summarization,
+    #21 translation), mirroring how ONNXConditionalGenerator implements
+    the same PrivateLanguageGenerator surface the Torch models do
+    (onnx/models.rs:986-1102). The word-level encode/decode surface is
+    inherited, so ``Summarizer(head=...)`` / ``Translator(head=...)`` is a
+    pure construction change (ModelResource::{Torch, ONNX},
+    common.rs:85-89); only ``next_logits`` changes brains.
+
+    Session scheduling follows prepare_inputs_for_generation
+    (models.rs:1052-1080): encoder states are computed ONCE per source
+    batch and reused every step; when this call's contexts extend the
+    previous call's by exactly one token per row (the greedy/sampling
+    loop's step contract) and a with-past session exists, only the new
+    token column is fed with the KV cache; any other shape — first step,
+    beam-search reorder, new batch — re-feeds the full target prefix to
+    the without-past session (the reference's ``use_past=false`` arm).
+    Both paths are pinned bit-identical by the mock-session contract test,
+    so the fallback is a performance choice, never a semantic one.
+
+    The sessions' ``logits`` output must cover this head's vocab
+    (specials + words + markers) — the same requirement the reference
+    places on a checkpoint matching its tokenizer."""
+
+    def __init__(self, vocab_words: list[str], generator, seed: int = 42):
+        super().__init__(vocab_words, planted=None, seed=seed,
+                         is_encoder_decoder=True)
+        self.generator = generator
+        self.reset_cache()
+
+    def reset_cache(self) -> None:
+        self._prev_contexts: tuple | None = None
+        self._cache = None
+        self._enc_key: tuple | None = None
+        self._enc_states = None
+        self._enc_mask = None
+
+    def _encode_source(self, encoder_rows: list[list[int]]):
+        n = max((len(r) for r in encoder_rows), default=0) or 1
+        ids = np.full((len(encoder_rows), n), PAD_ID, dtype=np.int64)
+        mask = np.zeros((len(encoder_rows), n), dtype=np.int64)
+        for i, r in enumerate(encoder_rows):
+            ids[i, :len(r)] = r
+            mask[i, :len(r)] = 1
+        return ids, mask
+
+    def next_logits(self, contexts: list[list[int]],
+                    encoder_rows: list[list[int]] | None = None) -> np.ndarray:
+        if encoder_rows is None:
+            raise ValueError("ONNXSeq2SeqLMHead is encoder-decoder only: "
+                             "encoder_rows must be provided")
+        key = tuple(tuple(int(t) for t in r) for r in encoder_rows)
+        if key != self._enc_key:
+            ids, mask = self._encode_source(encoder_rows)
+            self.reset_cache()
+            self._enc_key = key
+            self._enc_states = self.generator.encode(ids, mask)
+            self._enc_mask = mask
+        snap = tuple(tuple(int(t) for t in r) for r in contexts)
+        incremental = (
+            self.generator.use_past and self._cache is not None
+            and self._prev_contexts is not None
+            and len(snap) == len(self._prev_contexts)
+            and all(len(c) == len(p) + 1 and c[:-1] == p
+                    for c, p in zip(snap, self._prev_contexts)))
+        if incremental:
+            dec_ids = np.array([[c[-1]] for c in snap], dtype=np.int64)
+            logits, cache = self.generator.forward(
+                encoder_hidden_states=self._enc_states,
+                encoder_attention_mask=self._enc_mask,
+                decoder_input_ids=dec_ids, cache=self._cache)
+        else:
+            dec_ids = np.array([list(c) for c in snap], dtype=np.int64)
+            logits, cache = self.generator.forward(
+                encoder_hidden_states=self._enc_states,
+                encoder_attention_mask=self._enc_mask,
+                decoder_input_ids=dec_ids, cache=None)
+        self._prev_contexts = snap
+        self._cache = cache if self.generator.use_past else None
+        return np.asarray(logits[:, -1, :], dtype=np.float64)

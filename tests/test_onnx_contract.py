@@ -229,3 +229,269 @@ def test_decoder_dispatch_fallbacks_and_errors():
     odd = ONNXCausalDecoder(_MockWithPast(), None)
     with pytest.raises(ValueError, match="not found and cache was not provided"):
         odd.forward(seq, np.ones_like(seq))
+
+
+# --------------------------------------------------------------------------
+# seq2seq (conditional) generator contract — ONNXConditionalGenerator
+# (onnx/models.rs:558-847 construction, :900-983 dispatch), encoder session
+# per onnx/encoder.rs:17-210, decoder feed with encoder_hidden_states /
+# encoder_attention_mask per onnx/decoder.rs:44-68
+# --------------------------------------------------------------------------
+
+from kgforge.encoders import ONNXConditionalGenerator
+
+
+class _MockSeq2SeqEncoder:
+    """Encoder session: last_hidden_state[b,t,0] = ids[b,t]*mask[b,t] — a
+    deterministic 1-dim 'hidden state' the decoders cross-attend to."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def get_inputs(self):
+        return [_Meta(n) for n in ("input_ids", "attention_mask")]
+
+    def get_outputs(self):
+        return [_Meta("last_hidden_state")]
+
+    def run(self, _names, feed):
+        self.calls += 1
+        ids = feed["input_ids"].astype(np.int64)
+        mask = feed["attention_mask"].astype(np.int64)
+        return [(ids * mask)[:, :, None]]
+
+
+class _BareEncoder(_MockSeq2SeqEncoder):
+    """Encoder whose session exports no last_hidden_state output."""
+
+    def get_outputs(self):
+        return [_Meta("pooler_output")]
+
+
+def _enc_summary(feed):
+    """The mock decoders' cross-attention read: masked sum of the encoder
+    hidden states. Both decoders MUST find these tensors in their feed —
+    that is the seq2seq feed contract under test."""
+    h = feed["encoder_hidden_states"]
+    m = feed["encoder_attention_mask"].astype(np.int64)
+    return (h[:, :, 0].astype(np.int64) * m).sum(axis=1)
+
+
+def _s2s_step(S, ids_col, pos, E):
+    return S + (ids_col.astype(np.int64) + 1) * pos * (E + 7)
+
+
+def _s2s_logits(S, E):
+    out = ((S[:, None] * 31 + E[:, None] * 13
+            + np.arange(_V, dtype=np.int64) * 7) % 97).astype(float)
+    out[:, :3] -= 1000.0  # a trained head never argmaxes PAD/BOS, and this
+    return out            # one never stops early — decodes run to max_length
+
+
+class _MockS2SNoPast:
+    """Full-target-prefix decoder: recomputes the recurrence from scratch,
+    cross-attending to the encoder summary at every step."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def get_inputs(self):
+        return [_Meta(n) for n in ("input_ids", "encoder_hidden_states",
+                                   "encoder_attention_mask")]
+
+    def get_outputs(self):
+        return [_Meta(n) for n in ("logits", "present.0.key",
+                                   "present.0.value")]
+
+    def run(self, _names, feed):
+        self.calls += 1
+        ids = feed["input_ids"]
+        E = _enc_summary(feed)
+        b, t = ids.shape
+        S = np.zeros((b,), np.int64)
+        logits = np.zeros((b, t, _V))
+        for j in range(t):
+            S = _s2s_step(S, ids[:, j], j + 1, E)
+            logits[:, j, :] = _s2s_logits(S, E)
+        return [logits, S[:, None], np.full((b, 1), t, np.int64)]
+
+
+class _MockS2SWithPast:
+    """Single-new-token decoder: cached self-attention state + fresh
+    cross-attention over the encoder states every step."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def get_inputs(self):
+        return [_Meta(n) for n in ("input_ids", "encoder_hidden_states",
+                                   "encoder_attention_mask",
+                                   "past_key_values.0.key",
+                                   "past_key_values.0.value")]
+
+    def get_outputs(self):
+        return [_Meta(n) for n in ("logits", "present.0.key",
+                                   "present.0.value")]
+
+    def run(self, _names, feed):
+        self.calls += 1
+        ids = feed["input_ids"]
+        b, t = ids.shape
+        assert t == 1, "with-past session receives ONLY the new target token"
+        E = _enc_summary(feed)
+        S = feed["past_key_values.0.key"][:, 0]
+        n = feed["past_key_values.0.value"][:, 0]
+        S = _s2s_step(S, ids[:, 0], n + 1, E)
+        return [_s2s_logits(S, E)[:, None, :], S[:, None], (n + 1)[:, None]]
+
+
+def test_seq2seq_cached_incremental_equals_full_redecode():
+    """The seq2seq KV-cache contract: greedy steps through the with-past
+    session (new target token only, encoder states re-fed each step) must
+    be BIT-identical to re-running the full target prefix through the
+    no-past session — with the SAME encoder hidden states both ways."""
+    enc = _MockSeq2SeqEncoder()
+    wp = _MockS2SWithPast()
+    gen = ONNXConditionalGenerator(enc, _MockS2SNoPast(), wp)
+    full = ONNXConditionalGenerator(_MockSeq2SeqEncoder(), _MockS2SNoPast(),
+                                    None)
+    src = np.array([[4, 9, 6], [5, 2, 0]], dtype=np.int64)
+    src_mask = np.array([[1, 1, 1], [1, 1, 0]], dtype=np.int64)
+    states = gen.encode(src, src_mask)
+    assert enc.calls == 1 and states.shape == (2, 3, 1)
+    prefix = [[1], [1]]
+    dec = np.array(prefix, dtype=np.int64)
+    logits, cache = gen.forward(encoder_hidden_states=states,
+                                encoder_attention_mask=src_mask,
+                                decoder_input_ids=dec)
+    assert set(cache.values) == {"present.0.key", "present.0.value"}
+    for tok_a, tok_b in ((3, 8), (7, 2), (5, 5)):
+        prefix[0].append(tok_a)
+        prefix[1].append(tok_b)
+        new = np.array([[tok_a], [tok_b]], dtype=np.int64)
+        logits, cache = gen.forward(encoder_hidden_states=states,
+                                    encoder_attention_mask=src_mask,
+                                    decoder_input_ids=new, cache=cache)
+        f_logits, _ = full.forward(input_ids=src,
+                                   encoder_attention_mask=src_mask,
+                                   decoder_input_ids=np.array(prefix,
+                                                              np.int64))
+        np.testing.assert_array_equal(logits[:, -1, :], f_logits[:, -1, :])
+    assert wp.calls == 3
+
+
+def test_seq2seq_dispatch_fallbacks_and_errors():
+    enc = _MockSeq2SeqEncoder()
+    # both decoder sessions absent -> construction error (models.rs:745-747)
+    with pytest.raises(ValueError, match="Must provide at least one"):
+        ONNXConditionalGenerator(enc, None, None)
+    # encoder session without last_hidden_state -> models.rs:910-914 error
+    bare = ONNXConditionalGenerator(_BareEncoder(), _MockS2SNoPast(), None)
+    src = np.array([[4, 9]], dtype=np.int64)
+    with pytest.raises(ValueError, match="`last_hidden_state` not found"):
+        bare.forward(input_ids=src,
+                     encoder_attention_mask=np.ones_like(src),
+                     decoder_input_ids=src)
+    # with-past only + no cache -> models.rs:976-978 error
+    wp_only = ONNXConditionalGenerator(_MockSeq2SeqEncoder(), None,
+                                       _MockS2SWithPast())
+    dec = np.array([[1]], dtype=np.int64)
+    with pytest.raises(ValueError, match="No decoder_without_cache loaded"):
+        wp_only.forward(input_ids=src,
+                        encoder_attention_mask=np.ones_like(src),
+                        decoder_input_ids=dec)
+    # no-past only + cache given -> models.rs:963-974 fallback: full target
+    # prefix re-runs on the no-past session, cache ignored
+    np_only = ONNXConditionalGenerator(_MockSeq2SeqEncoder(),
+                                       _MockS2SNoPast(), None)
+    states = np_only.encode(src, np.ones_like(src))
+    _, cache = np_only.forward(encoder_hidden_states=states,
+                               decoder_input_ids=dec)
+    longer = np.array([[1, 6]], dtype=np.int64)
+    a, _ = np_only.forward(encoder_hidden_states=states,
+                           decoder_input_ids=longer, cache=cache)
+    b, _ = np_only.forward(encoder_hidden_states=states,
+                           decoder_input_ids=longer)
+    np.testing.assert_array_equal(a, b)
+    # encoder declares an input the caller did not offer -> encoder.rs:141
+    # error (the encoder path has no cache fallback)
+    with pytest.raises(ValueError,
+                       match="attention_mask not found but expected"):
+        np_only.encoder.forward(input_ids=src)
+    # default encoder_attention_mask = ones over (batch, source_len)
+    # (models.rs:920-931): forwarding with states but no mask must work and
+    # equal the explicit all-ones mask
+    c, _ = np_only.forward(encoder_hidden_states=states,
+                           decoder_input_ids=dec)
+    d, _ = np_only.forward(encoder_hidden_states=states,
+                           encoder_attention_mask=np.ones((1, 2), np.int64),
+                           decoder_input_ids=dec)
+    np.testing.assert_array_equal(c, d)
+
+
+# --------------------------------------------------------------------------
+# pipeline swap: Summarizer / Translator over the ONNX seq2seq head — the
+# ModelResource::{Torch, ONNX} duality at the pipeline surface
+# --------------------------------------------------------------------------
+
+from kgforge.generation import (GenerateConfig, ONNXSeq2SeqLMHead,
+                                Summarizer)
+from kgforge.translation import M2M100, Translator
+
+_WORDS = ["data", "join", "merge", "sort", "spark", "graph",
+          "alpha", "beta", ">>fr.<<", ">>en.<<"]  # + 3 specials = _V = 13
+
+
+def _s2s_head(with_past: bool):
+    wp = _MockS2SWithPast() if with_past else None
+    gen = ONNXConditionalGenerator(_MockSeq2SeqEncoder(), _MockS2SNoPast(),
+                                   wp)
+    head = ONNXSeq2SeqLMHead(_WORDS, gen)
+    assert head.vocab_size == _V  # mock logits cover the head vocab
+    return head
+
+
+_S2S_GREEDY = GenerateConfig(do_sample=False, num_beams=1, max_length=10,
+                             min_length=2, no_repeat_ngram_size=3)
+
+
+def test_summarizer_onnx_swap_cached_equals_uncached():
+    """Summarizer over the cached two-session generator must emit the same
+    summaries as over the no-past-only generator — and the with-past
+    session must actually have served the steps."""
+    cached, uncached = _s2s_head(True), _s2s_head(False)
+    docs = ["data join merge sort", "spark graph data"]
+    a = Summarizer(cached, _S2S_GREEDY).summarize(docs)
+    b = Summarizer(uncached, _S2S_GREEDY).summarize(docs)
+    assert a == b and all(s for s in a)
+    assert cached.generator.decoder_with_past.calls > 0
+    # encoder ran once per batch, not once per step
+    assert cached.generator.encoder.session.calls == 1
+
+
+def test_summarizer_onnx_beam_reorder_falls_back_to_full_decode():
+    """Beam search reorders hypotheses between steps, breaking the
+    one-new-token contract — the head must fall back to full re-decode
+    (never the with-past session with a stale cache) and still match the
+    uncached generator bit-for-bit."""
+    cfg = GenerateConfig(do_sample=False, num_beams=2, max_length=8,
+                         min_length=2, early_stopping=True)
+    cached, uncached = _s2s_head(True), _s2s_head(False)
+    docs = ["data join merge", "sort spark"]
+    a = Summarizer(cached, cfg).summarize(docs)
+    b = Summarizer(uncached, cfg).summarize(docs)
+    assert a == b and all(s for s in a)
+
+
+def test_translator_onnx_swap():
+    """Translator construction is a pure head swap: forced-BOS markers
+    resolve through the inherited vocab and never leak into output."""
+    sup = {"English", "French"}
+    cfg = GenerateConfig(do_sample=False, num_beams=1, max_length=10,
+                         min_length=2)
+    a = Translator(_s2s_head(True), M2M100, sup, sup, cfg).translate(
+        ["data join merge"], "English", "French")
+    b = Translator(_s2s_head(False), M2M100, sup, sup, cfg).translate(
+        ["data join merge"], "English", "French")
+    assert a == b and len(a) == 1 and a[0]
+    assert ">>" not in a[0]
