@@ -299,24 +299,38 @@ FROM s
 """
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
+NGRAM_HOT_BAND_CAP = 4096  # docs per band above which the bucket row is
+                           # not collected (see q_ngram_jaccard_pairs)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir,
+                          hot_band_cap: int = NGRAM_HOT_BAND_CAP):
     """Near-dup candidate pairs: same-lang docs blocked by shared minhash
     band (mh1), then exact word-set Jaccard (ratio of exact ints).
     Blocking-first is the scale path: the quadratic compare runs only inside
     buckets, never across the corpus.
 
     Plan shape (pinned in tests/test_plans.py): the band is computed INLINE
-    next to the word set in ONE projection over ONE ``documents`` scan, then
-    docs are grouped by band and the i<j pairs are generated map-side with
-    posexplode + slice — one scan, one Exchange (the band groupBy), no
-    doc_id join and no band self-join.  (The previous shape derived the band
-    from q_minhash_signature's own scan and joined it back on doc_id, then
-    self-joined on band: 2 scans + 2 shuffles of the corpus.)
+    next to the word set in ONE projection over ONE ``documents`` scan; one
+    Exchange (hash on band) feeds a window count n = |band|, then bands
+    route by size:
 
-    Skew note: a hot band holds its bucket in one collect_list row, but any
-    bucket too large to hold is already catastrophic for EVERY blocking
-    scheme (the pair output is quadratic in bucket size); at 100 TB the fix
-    is more bands / longer shingles, not a different join strategy."""
+    - n <= hot_band_cap (everything, in non-adversarial data): the fused
+      shape — collect the bucket into one row and generate the i<j pairs
+      map-side with posexplode + slice. No join, no second shuffle (the
+      groupBy reuses the window's hash partitioning), and the bucket row is
+      BOUNDED at hot_band_cap structs.
+    - n > hot_band_cap (a pathological hot band — boilerplate shingle
+      shared by millions of docs): the same pairs via an exact per-band
+      self-join, which never materializes the bucket in one row. Both join
+      sides are branches of the same windowed frame, so at runtime AQE
+      reuses the band Exchange (asserted on executedPlan in test_plans.py)
+      and the corpus is still scanned and shuffled ONCE.
+
+    The quadratic pair OUTPUT of a hot band is still quadratic — that is
+    inherent to every blocking scheme, and the 100 TB fix remains more
+    bands / longer shingles — but no single task row can OOM on it."""
+    from pyspark.sql import Window
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
     # band = mh1 of q_minhash_signature, computed inline (same split feeds
     # the distinct word set — no second scan).  Filter on size(words) BEFORE
@@ -331,24 +345,43 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
          .where(F.size("words") >= 3)
          .select("doc_id", "lang", F.array_distinct("words").alias("ws"),
                  band.alias("band")))
-    bucket = (d.groupBy("band")
-              .agg(F.collect_list(F.struct("doc_id", "lang", "ws")).alias("docs"))
-              .where(F.size("docs") >= 2))
+    dn = (d.withColumn("n", F.count(F.lit(1))
+                       .over(Window.partitionBy("band")))
+          .where(F.col("n") >= 2))
+    bucket = (dn.where(F.col("n") <= hot_band_cap)
+              .groupBy("band")
+              .agg(F.collect_list(F.struct("doc_id", "lang", "ws")).alias("docs")))
     # unordered i<j pairs, generated per bucket without a self-join: for the
     # element at 0-based position i, partners are the slice starting at
     # 1-based position i+2 (slice clamps past the end)
-    xy = (bucket
-          .select(F.posexplode("docs").alias("i", "x"), F.col("docs"))
-          .select("x", F.explode(
-              F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("y")))
-    inter = F.size(F.array_intersect("x.ws", "y.ws")).cast("double")
-    union = F.size(F.array_union("x.ws", "y.ws")).cast("double")
+    xy_small = (bucket
+                .select(F.posexplode("docs").alias("i", "x"), F.col("docs"))
+                .select("x", F.explode(
+                    F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("y"))
+                .select(F.col("x.doc_id").alias("id_a"),
+                        F.col("x.lang").alias("lang_a"),
+                        F.col("x.ws").alias("ws_a"),
+                        F.col("y.doc_id").alias("id_b"),
+                        F.col("y.lang").alias("lang_b"),
+                        F.col("y.ws").alias("ws_b")))
+    hot = dn.where(F.col("n") > hot_band_cap)
+    xy_hot = (hot.select("band", F.col("doc_id").alias("id_a"),
+                         F.col("lang").alias("lang_a"),
+                         F.col("ws").alias("ws_a"))
+              .join(hot.select("band", F.col("doc_id").alias("id_b"),
+                               F.col("lang").alias("lang_b"),
+                               F.col("ws").alias("ws_b")), "band")
+              .where(F.col("id_a") < F.col("id_b"))
+              .drop("band"))
+    xy = xy_small.unionByName(xy_hot)
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
     return (
-        xy.where(F.col("x.lang") == F.col("y.lang"))
+        xy.where(F.col("lang_a") == F.col("lang_b"))
         # collect_list order within a bucket is arbitrary: name the pair by
         # id order (jaccard is symmetric, each unordered pair appears once)
-        .select(F.least("x.doc_id", "y.doc_id").alias("doc_a"),
-                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        .select(F.least("id_a", "id_b").alias("doc_a"),
+                F.greatest("id_a", "id_b").alias("doc_b"),
                 (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= 0.2)
     )

@@ -194,15 +194,40 @@ def test_exact_median_rank_parallelism_exceeds_group_count(spark):
 
 
 def test_ngram_jaccard_pairs_single_scan_single_shuffle(spark):
-    """The fused pair query: band computed inline with the word set, pairs
-    generated per bucket with posexplode+slice — ONE documents scan, ONE
-    Exchange (the band groupBy), no doc_id join, no band self-join."""
+    """The fused pair query with the hot-band guard: band computed inline
+    with the word set, one Exchange feeds the window band-size count, and
+    on non-adversarial data (no band over the cap) the runtime plan must
+    collapse to exactly the fused shape — AQE propagates the empty hot
+    branch away, leaving ONE documents scan, ONE shuffle stage, pairs via
+    posexplode+slice, and NO join operator. Assert on executedPlan AFTER a
+    collect: the guard costs zero when it does not fire."""
     import re
     from kgforge.queries import q_ngram_jaccard_pairs
-    plan = _plan(q_ngram_jaccard_pairs(spark, SF))
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
-    assert "Join" not in plan, plan
+    df = q_ngram_jaccard_pairs(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final_main = final.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"FileScan parquet", final_main)) == 1, final_main
+    assert len(re.findall(r"Exchange hashpartitioning", final_main)) == 1, \
+        final_main
+    assert "Join" not in final_main, final_main
+    assert "posexplode" in final_main, final_main
+
+
+def test_ngram_jaccard_forced_hot_band_value_parity(spark):
+    """Force every band through the self-join spill branch (cap=1): the
+    pair set and jaccard values must be identical to the fused branch —
+    the guard is a row-size bound, never a semantic change."""
+    from kgforge.queries import q_ngram_jaccard_pairs
+    base = sorted((r.doc_a, r.doc_b, round(r.jaccard, 12))
+                  for r in q_ngram_jaccard_pairs(spark, SF).collect())
+    forced = q_ngram_jaccard_pairs(spark, SF, hot_band_cap=1)
+    got = sorted((r.doc_a, r.doc_b, round(r.jaccard, 12))
+                 for r in forced.collect())
+    assert base and got == base
+    # and the forced plan really is the join branch (no bucket collect)
+    final = forced._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in final or "BroadcastHashJoin" in final, final
 
 
 def test_funnel_is_single_scan(spark):
