@@ -140,6 +140,30 @@ class WordPieceTokenizer:
         self.max_input_chars_per_word = max_input_chars_per_word
 
     @classmethod
+    def from_vocab_file(cls, vocab_path, lower_case: bool = False,
+                        strip_accents: bool | None = None,
+                        ) -> "WordPieceTokenizer":
+        """Mount a real checkpoint's tokenizer from its artifact file — the
+        BertTokenizer arm of TokenizerOption::from_file (common.rs:639-662):
+        ``vocab.txt`` is one token per line, line number = id; the
+        lower_case / strip_accents flags ride alongside the file exactly as
+        the reference's from_file signature passes them."""
+        with open(vocab_path, encoding="utf-8") as f:
+            tokens = [ln.rstrip("\n") for ln in f]
+        tok = cls((t for t in tokens if t), lower_case=lower_case,
+                  strip_accents=strip_accents)
+        tok.token_to_id = {t: i for i, t in enumerate(tokens) if t}
+        return tok
+
+    def to_vocab_file(self, vocab_path) -> None:
+        """Serialize to the vocab.txt format ``from_vocab_file`` reads
+        (deterministic sorted order; ids are then line numbers). Round-trip
+        is bit-identical tokenization — pinned in tests."""
+        with open(vocab_path, "w", encoding="utf-8") as f:
+            for t in sorted(self.vocab):
+                f.write(t + "\n")
+
+    @classmethod
     def from_words(cls, words, lower_case: bool = False,
                    strip_accents: bool | None = None) -> "WordPieceTokenizer":
         """Vocab = each word's normalized full form + per-char fallback
@@ -245,10 +269,10 @@ def clean_up_tokenization(text: str) -> str:
             .replace(" ' ", "'")
             .replace(" n't", "n't")
             .replace(" 'm", "'m")
+            .replace(" do not", " don't")
             .replace(" 's", "'s")
             .replace(" 've", "'ve")
-            .replace(" 're", "'re")
-            .replace(" do not", " don't"))
+            .replace(" 're", "'re"))
 
 
 def longest_first_keep(n_a: int, n_b: int, max_content: int) -> tuple[int, int]:
@@ -260,14 +284,23 @@ def longest_first_keep(n_a: int, n_b: int, max_content: int) -> tuple[int, int]:
     selects for every pair-encode path (encode_pair_list at
     zero_shot_classification.rs:740-745, tokenize_and_pad at
     common.rs:2250-2270). Token-level, not char-level: the budget is in
-    TOKENS of whatever tokenizer encodes the pair."""
-    keep_a, keep_b = n_a, n_b
-    for _ in range(max(keep_a + keep_b - max_content, 0)):
-        if keep_a > keep_b:
-            keep_a -= 1
-        else:
-            keep_b -= 1
-    return max(keep_a, 0), max(keep_b, 0)
+    TOKENS of whatever tokenizer encodes the pair.
+
+    Computed in closed form (O(1), not one loop turn per removed token —
+    this sits on the zero-shot executor hot path once per (doc, label)):
+    the one-at-a-time loop either trims only the longer side down to
+    ``budget - other``, or, when both sides exceed the even split, walks
+    to the tie and then alternates starting with B (the strict
+    ``len_1 > len_2`` test), leaving A the odd token. Equivalence to the
+    published loop is property-pinned in tests."""
+    budget = max(max_content, 0)
+    if n_a + n_b <= budget:
+        return n_a, n_b
+    if budget >= 2 * n_b:           # only A exceeds its half
+        return budget - n_b, n_b
+    if budget >= 2 * n_a:           # only B exceeds its half
+        return n_a, budget - n_a
+    return (budget + 1) // 2, budget // 2
 
 
 def truncate_pairs(texts_a: list[str], texts_b: list[str], max_length: int,
@@ -282,7 +315,16 @@ def truncate_pairs(texts_a: list[str], texts_b: list[str], max_length: int,
     The char-count precheck (len(chars) <= budget implies len(tokens) <=
     budget) applies ONLY to the default chunk tokenizer, where every piece
     covers >= 1 char; byte-level BPE emits up to 4 tokens per char, so a
-    pluggable tokenizer always takes the tokenize path."""
+    pluggable tokenizer always takes the tokenize path.
+
+    Budget softness: the cut is CHAR-granular (each side is sliced at its
+    last kept token's END offset). For byte-level tokenizers a kept-token
+    boundary can fall inside a multibyte char, which rounds UP to the full
+    char — re-tokenizing the cut surface can then exceed the per-side keep
+    by at most bytes_per_char - 1 tokens PER SIDE (so <= 2*(4-1) over the
+    pair for UTF-8). A real checkpoint feeds the kept ids directly and is
+    exact; the surface form exists only for the text-consuming stand-in
+    head."""
     budget = max_length - n_special
     cache: dict[str, TokenizedInput] = {}
 
@@ -382,10 +424,64 @@ class BPETokenizer:
     with ``PipelineConfig(tokenizer="bpe")``.
     """
 
-    def __init__(self, merges: list[tuple[str, str]]):
+    def __init__(self, merges: list[tuple[str, str]],
+                 vocab: dict[str, int] | None = None):
         self.ranks: dict[tuple[str, str], int] = {
             pair: i for i, pair in enumerate(merges)}
+        # token -> checkpoint id, when mounted from a vocab.json; the
+        # pipeline's hash ids stay the default (convert_token_to_id)
+        self.vocab = dict(vocab) if vocab else None
         self._cache: dict[tuple[str, ...], list[str]] = {}
+
+    @classmethod
+    def from_files(cls, vocab_path, merges_path) -> "BPETokenizer":
+        """Mount a real checkpoint's tokenizer from its artifact files —
+        the Gpt2/Roberta arm of TokenizerOption::from_file
+        (common.rs:663-690, vocab_path + merges_path pair): ``merges.txt``
+        holds one "left right" pair per line in rank order (optional
+        ``#version`` header), ``vocab.json`` maps token -> id."""
+        import json
+        merges: list[tuple[str, str]] = []
+        with open(merges_path, encoding="utf-8") as f:
+            for ln in f:
+                ln = ln.rstrip("\n")
+                if not ln or ln.startswith("#"):
+                    continue
+                a, b = ln.split(" ")
+                merges.append((a, b))
+        with open(vocab_path, encoding="utf-8") as f:
+            vocab = json.load(f)
+        return cls(merges, vocab=vocab)
+
+    def to_files(self, vocab_path, merges_path) -> None:
+        """Serialize to the (vocab.json, merges.txt) pair ``from_files``
+        reads. The vocab follows GPT-2's published enumeration: the 256
+        byte-proxy symbols in byte order, then each merge's output token in
+        rank order. Round-trip is bit-identical tokenization."""
+        import json
+        ordered = [p for p, _ in sorted(self.ranks.items(),
+                                        key=lambda kv: kv[1])]
+        with open(merges_path, "w", encoding="utf-8") as f:
+            f.write("#version: 0.2\n")
+            for a, b in ordered:
+                f.write(f"{a} {b}\n")
+        vocab: dict[str, int] = {}
+        for b in range(256):
+            vocab[_B2U[b]] = len(vocab)
+        for a, b in ordered:
+            tok = a + b
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+        with open(vocab_path, "w", encoding="utf-8") as f:
+            json.dump(vocab, f, ensure_ascii=False)
+
+    def convert_token_to_id(self, piece: str) -> int:
+        """Checkpoint id when a vocab.json is mounted, else the pipeline's
+        stable hash id — the TokenizerOption::convert_tokens_to_ids
+        surface (common.rs:1731-1760)."""
+        if self.vocab is not None and piece in self.vocab:
+            return self.vocab[piece]
+        return token_id(piece)
 
     # -- training (classic Sennrich BPE learning; deterministic) ----------
     @classmethod
@@ -513,6 +609,31 @@ class UnigramTokenizer:
     def __init__(self, pieces: dict[str, float]):
         self.pieces = dict(pieces)
         self.max_piece_len = max((len(p) for p in self.pieces), default=1)
+
+    @classmethod
+    def from_piece_table(cls, table_path) -> "UnigramTokenizer":
+        """Mount a real checkpoint's piece table from its artifact file —
+        the sentencepiece-model arm of TokenizerOption::from_file
+        (common.rs:639-690; T5/XLNet/Marian vocab_path): the public
+        ``.vocab`` text export, one "piece<TAB>log-prob" per line in piece
+        order. (The binary .model protobuf needs the sentencepiece lib,
+        absent here; its text export carries the same table.)"""
+        pieces: dict[str, float] = {}
+        with open(table_path, encoding="utf-8") as f:
+            for ln in f:
+                ln = ln.rstrip("\n")
+                if not ln:
+                    continue
+                piece, score = ln.split("\t")
+                pieces[piece] = float(score)
+        return cls(pieces)
+
+    def to_piece_table(self, table_path) -> None:
+        """Serialize to the text piece table ``from_piece_table`` reads.
+        Scores print with repr-exact precision so reload is bit-identical."""
+        with open(table_path, "w", encoding="utf-8") as f:
+            for piece in sorted(self.pieces):
+                f.write(f"{piece}\t{self.pieces[piece]!r}\n")
 
     @classmethod
     def from_words(cls, words) -> "UnigramTokenizer":

@@ -514,6 +514,22 @@ def test_longest_first_trims_longer_side_first():
     assert longest_first_keep(2, 2, 0) == (0, 0)
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 300), st.integers(0, 300), st.integers(-5, 400))
+def test_longest_first_closed_form_equals_published_loop(n_a, n_b, budget):
+    """longest_first_keep is computed in closed form; pin it against the
+    reference's literal remove-one-from-the-longer loop (strict
+    len_1 > len_2, tie trims sequence 2) for every shape."""
+    keep_a, keep_b = n_a, n_b
+    for _ in range(max(keep_a + keep_b - budget, 0)):
+        if keep_a > keep_b:
+            keep_a -= 1
+        else:
+            keep_b -= 1
+    expected = (max(keep_a, 0), max(keep_b, 0))
+    assert longest_first_keep(n_a, n_b, budget) == expected
+
+
 def test_encode_pair_truncation_is_token_wise_not_char_wise():
     # chunk tokenizer: every 2-char word is ONE piece; 11 = 8 content + 3
     # specials -> premise (8 tokens) keeps 4, hypothesis (4) keeps 4
@@ -572,3 +588,64 @@ def test_truncate_pairs_batch_matches_single_pair_form():
     for p, h, ga, gb in zip(ps, hs, got_a, got_b):
         ea, eb = encode_pair_truncated(p, h, 11)
         assert (ga, gb) == (ea, eb)
+
+
+# --------------------------------------------------------------------------
+# from-file constructors (TokenizerOption::from_file, common.rs:639-690):
+# serialize the trained tokenizers to the reference artifact formats,
+# reload, and pin bit-identical tokenization on a multibyte corpus
+# --------------------------------------------------------------------------
+
+_FF_CORPUS = ["Zoë", "Tromsø", "Vandelay", "日本語", "🙂ok", "naïve",
+              "Quantia", "works", "'s"]
+_FF_TEXTS = ["Zoë works for Vandelay in Tromsø 🙂ok",
+             "naïve 日本語 Quantia 's", "unseen wørds 𝔘nicode"]
+
+
+def _tok_outputs(tok, texts):
+    return [(t.pieces, t.ids, t.begins, t.ends, t.masks)
+            for t in map(tok.tokenize_with_offsets, texts)]
+
+
+def test_wordpiece_vocab_file_roundtrip(tmp_path):
+    p = tmp_path / "vocab.txt"
+    for flags in ({"lower_case": False}, {"lower_case": True},
+                  {"lower_case": False, "strip_accents": True}):
+        tok = WordPieceTokenizer.from_words(_FF_CORPUS, **flags)
+        tok.to_vocab_file(p)
+        back = WordPieceTokenizer.from_vocab_file(p, **flags)
+        assert back.vocab == tok.vocab
+        assert _tok_outputs(back, _FF_TEXTS) == _tok_outputs(tok, _FF_TEXTS)
+    # line number = id (the BERT vocab.txt contract)
+    first = p.read_text(encoding="utf-8").splitlines()[0]
+    assert back.token_to_id[first] == 0
+
+
+def test_bpe_files_roundtrip(tmp_path):
+    vp, mp = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    tok = BPETokenizer.from_words(_FF_CORPUS)
+    tok.to_files(vp, mp)
+    back = BPETokenizer.from_files(vp, mp)
+    assert back.ranks == tok.ranks
+    assert _tok_outputs(back, _FF_TEXTS) == _tok_outputs(tok, _FF_TEXTS)
+    # merges.txt: header + one "a b" line per merge, in rank order
+    lines = mp.read_text(encoding="utf-8").splitlines()
+    assert lines[0].startswith("#version") and len(lines) == 1 + len(tok.ranks)
+    # vocab.json: 256 byte proxies first, then merge outputs in rank order;
+    # a mounted vocab serves convert_token_to_id (checkpoint ids)
+    a, b = lines[1].split(" ")
+    assert back.vocab[a + b] == 256
+    assert back.convert_token_to_id(a + b) == 256
+    assert tok.vocab is None            # trained tokenizer: hash ids
+    from kgforge.tokenization import token_id
+    assert tok.convert_token_to_id(a + b) == token_id(a + b)
+
+
+def test_unigram_piece_table_roundtrip(tmp_path):
+    p = tmp_path / "unigram.vocab"
+    tok = UnigramTokenizer.from_words(_FF_CORPUS)
+    tok.to_piece_table(p)
+    back = UnigramTokenizer.from_piece_table(p)
+    assert back.pieces == tok.pieces            # scores bit-exact (repr)
+    assert back.max_piece_len == tok.max_piece_len
+    assert _tok_outputs(back, _FF_TEXTS) == _tok_outputs(tok, _FF_TEXTS)
