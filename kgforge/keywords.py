@@ -20,16 +20,14 @@ from dataclasses import dataclass
 import numpy as np
 
 from .encoders import StandInEmbedder
+from .stopwords import ENGLISH_STOPWORDS
 
 WORD_RE = re.compile(r"\b\w+\b", re.UNICODE)  # tokenizer.rs:7 default
 
-# reference ships a large English stopword list; we pin a deterministic
-# subset adequate for the synthetic/word-soup corpora
-STOPWORDS = frozenset(
-    "the a an of and or but with over under near to from in on at by for "
-    "is are was were be been this that these those it its as not no yes "
-    "i you he she we they them his her our your".split()
-)
+# the reference's full 318-entry English stopword registry
+# (keywords_extraction/stopwords.rs:31-350) — candidate sets and therefore
+# MMR/MaxSum picks now match the reference on real text
+STOPWORDS = ENGLISH_STOPWORDS
 
 
 @dataclass

@@ -37,7 +37,10 @@ GOLDEN = [
     ("embedding_ann_topk", "5d149b1c468482ea44716dda1242fd61", 25),
     ("embedding_ivf_topk", "3707f1b0a87af26e2a2d1f853ba23358", 25),
     ("kgram_cardinality_sketch", "f45c178e3ea11e1c99ab4db803c34619", 6),
-    ("keywords_mmr", "b7fd8dbeeccc683fd0536d9bf2ab7508", 600),
+    # keywords_mmr regenerated 2026-08-17: full 318-entry reference
+    # stopword registry replaced the pinned subset (intentional semantic
+    # change — candidate sets now match the reference)
+    ("keywords_mmr", "77d43f0e9c218d43dd603c29596db5f9", 600),
     ("kg_entities", "4f20b5679d0b6ea924c0f1cc6fe3027f", 2430),
     ("kg_linked", "618ee191cb4b83c411404d06a56d63c6", 2430),
     ("kg_triples", "087d41896149280a863a79fc36789e6d", 816),
