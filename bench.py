@@ -41,6 +41,8 @@ HEADLINE = [
     "sessionize",
     "asof_join",           # union-window as-of (one shuffle)
     "exact_quantiles",     # two-phase rank, 4 quantiles one pass
+    "exact_median",        # same rank shape; tracks the r3 rebuild
+    "funnel_conversion",   # one-pass funnel; tracks the r3 rebuild
     "topk_per_group",
     "broadcast_join",
 ]

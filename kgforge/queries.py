@@ -331,6 +331,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir,
     inherent to every blocking scheme, and the 100 TB fix remains more
     bands / longer shingles — but no single task row can OOM on it."""
     from pyspark.sql import Window
+    # Catalyst constraint propagation re-canonicalizes the giant
+    # nested-lambda band expression once per inferred constraint per AQE
+    # replan round; across the guard's join+union branches that measured
+    # 4x this query's entire runtime (1.1s -> 4.4s at sf0.1), and it is
+    # the same Spark 4.1 rule family whose union constraint rewrite crash
+    # kgforge.canon already disables around connected components.
+    # Inference only ever ADDS derived filters — never changes results —
+    # and every filter this plan needs is already explicit. Left disabled
+    # on the session (scoped restore cannot cover the caller's later
+    # lazy execution of the returned frame).
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
     # band = mh1 of q_minhash_signature, computed inline (same split feeds
     # the distinct word set — no second scan).  Filter on size(words) BEFORE
@@ -2268,14 +2279,18 @@ QUERIES = {
     "masked_fill": q_masked_fill,
     "qa_extractive": q_qa_extractive,
     "keywords_mmr": q_keywords_mmr,
-    "media_image_features": q_media_image_features,
-    "media_audio_stats": q_media_audio_stats,
-    "media_video_frames": q_media_video_frames,
     "gen_greedy": q_gen_greedy,
-    # last three: decode-engine siblings of gen_greedy (checked above)
+    # ROTATED FORWARD for round 5 (r4 verdict ask #5): these three had
+    # never had a driver CORRECTNESS row — give each one pass, with the
+    # media_* queries (driver-checked in r2-r4, digest-pinned) taking the
+    # sacrificial tail this round. Restore the media_*-before-decode order
+    # next round.
     "summarize_beam": q_summarize_beam,
     "translate_m2m": q_translate_m2m,
     "converse": q_converse,
+    "media_image_features": q_media_image_features,
+    "media_audio_stats": q_media_audio_stats,
+    "media_video_frames": q_media_video_frames,
 }
 
 ORACLES = {
