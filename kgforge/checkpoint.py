@@ -45,6 +45,28 @@ def try_resume(
     return spark.read.parquet(path)
 
 
+def hot_key_stats(df: DataFrame, key_col: str) -> dict:
+    """Straggler guard metric: the per-key row-count maximum, its key, and
+    the key count. A bot user with millions of events (the documented
+    watch item on funnel/sessionize, whose per-user collected arrays are
+    bounded only by per-user activity) — or a giant document fanning out
+    into thousands of sentences — becomes OBSERVABLE in the lineage
+    manifest before it becomes a straggling or OOMing task. One extra agg
+    job per stage boundary; ties break to the lexicographically largest
+    key so the metric is deterministic."""
+    row = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("k_rows"))
+           .agg(F.count(F.lit(1)).alias("n_keys"),
+                F.max(F.struct(
+                    F.col("k_rows"),
+                    F.col(key_col).cast("string").alias("k"))).alias("top"))
+           .collect()[0])
+    if not row["n_keys"]:
+        return {"col": key_col, "n_keys": 0, "max_rows": 0, "hot_key": None}
+    return {"col": key_col, "n_keys": int(row["n_keys"]),
+            "max_rows": int(row["top"]["k_rows"]),
+            "hot_key": row["top"]["k"]}
+
+
 def write_stage(
     df: DataFrame,
     path: str,
@@ -52,10 +74,13 @@ def write_stage(
     config_hash: str,
     model_hash: str = "",
     url_col: str | None = "url",
+    hot_key_col: str | None = None,
 ) -> DataFrame:
     """Materialize a stage + manifest; returns the re-read DataFrame (so the
     downstream plan reads from disk, cutting lineage like the reference's
-    stage boundaries)."""
+    stage boundaries). The manifest's metrics include ``hot_key`` — the
+    per-key row-count max over ``hot_key_col`` (default: the url column),
+    the skew/straggler early-warning signal."""
     spark = df.sparkSession
     t0 = time.time()
     df.write.mode("overwrite").parquet(path)
@@ -85,6 +110,9 @@ def write_stage(
         },
         "partitions": [r.asDict() for r in per_part],
     }
+    key_col = hot_key_col or url_col
+    if key_col and key_col in out.columns:
+        meta["metrics"]["hot_key"] = hot_key_stats(out, key_col)
     with open(_manifest_path(path), "w") as f:
         json.dump(meta, f, indent=1, default=str)
     return out

@@ -137,7 +137,8 @@ def stream_dedup_pages_within_watermark(pages: DataFrame,
     )
 
 
-def stream_asof_enrich(events: DataFrame) -> DataFrame:
+def stream_asof_enrich(events: DataFrame,
+                       lateness_horizon_sec: float | None = None) -> DataFrame:
     """Streaming as-of enrichment — attribution at ingest, the streaming
     sibling of the batch ``asof_join`` operator: every 'purchase' event is
     emitted with the latest 'view' timestamp of the SAME user at or before
@@ -152,8 +153,19 @@ def stream_asof_enrich(events: DataFrame) -> DataFrame:
     ``q_asof_join`` over the union of all batches — pytest-pinned parity.
     A view arriving in a LATER batch than the purchase cannot retro-enrich
     it (append semantics; same class of trade-off the watermark dedup
-    documents — bound upstream lateness if that matters). Purchases with
-    no prior view are dropped, like the batch operator's inner as-of."""
+    documents). Purchases with no prior view are dropped, like the batch
+    operator's inner as-of.
+
+    ``lateness_horizon_sec`` (opt-in) trades emission latency for
+    late-view tolerance, mirroring ``dropDuplicatesWithinWatermark``'s
+    bounded-horizon pattern: a watermark of the horizon is set on event
+    time and each purchase is HELD in state until the watermark passes its
+    timestamp — at which point every view up to ``horizon`` late has
+    arrived (later ones are watermark-dropped), so a view landing one
+    batch after its purchase still attributes. Per-user state stays
+    bounded by the horizon, not the stream: one compacted double (max view
+    at-or-below the watermark) plus only the views/purchases newer than
+    the watermark."""
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType
 
@@ -164,6 +176,9 @@ def stream_asof_enrich(events: DataFrame) -> DataFrame:
         StructField("view_tsec", DoubleType()),
         StructField("lag_sec", DoubleType()),
     ])
+    if lateness_horizon_sec is not None:
+        return _asof_enrich_buffered(events, float(lateness_horizon_sec),
+                                     out_schema)
     state_schema = StructType([StructField("last_view", DoubleType())])
 
     def enrich(key, pdfs, state):
@@ -201,6 +216,92 @@ def stream_asof_enrich(events: DataFrame) -> DataFrame:
     return ev.groupBy("user_id").applyInPandasWithState(
         enrich, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def _asof_enrich_buffered(events: DataFrame, horizon_sec: float,
+                          out_schema: StructType) -> DataFrame:
+    """The bounded-lateness arm of ``stream_asof_enrich``: purchases are
+    buffered in state until the event-time watermark (set to the horizon)
+    passes their timestamp, then emitted with the true latest view at or
+    before them — including views that arrived in later micro-batches, up
+    to ``horizon_sec`` late. State compaction keeps one double for all
+    views at-or-below the watermark (only the max can ever win for a
+    still-buffered purchase, whose ts is above the watermark) and full
+    lists only for events above it — the same bounded-horizon state
+    contract as ``dropDuplicatesWithinWatermark``."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+    state_schema = StructType([
+        StructField("last_view", DoubleType()),      # max view <= watermark
+        StructField("view_ts", ArrayType(DoubleType())),
+        StructField("p_ids", ArrayType(LongType())),
+        StructField("p_ts", ArrayType(DoubleType())),
+    ])
+    NO_VIEW = float("-inf")
+
+    def enrich(key, pdfs, state):
+        # Without a timeout the function runs only for keys present in the
+        # current micro-batch, so a buffered purchase of an idle user would
+        # never flush. EventTimeTimeout re-invokes the group (empty input)
+        # once the watermark passes the earliest buffered purchase.
+        if state.exists:
+            last_view, view_ts, p_ids, p_ts = state.get
+            view_ts, p_ids, p_ts = list(view_ts), list(p_ids), list(p_ts)
+        else:
+            last_view, view_ts, p_ids, p_ts = NO_VIEW, [], [], []
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                if r.kind == 0:
+                    view_ts.append(float(r.tsec))
+                else:
+                    p_ids.append(int(r.event_id))
+                    p_ts.append(float(r.tsec))
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        out: dict[str, list] = {c: [] for c in
+                                ("purchase_id", "user_id", "purchase_tsec",
+                                 "view_tsec", "lag_sec")}
+        keep_ids: list[int] = []
+        keep_ts: list[float] = []
+        for pid, pt in zip(p_ids, p_ts):
+            if pt > wm:                           # horizon not yet elapsed
+                keep_ids.append(pid)
+                keep_ts.append(pt)
+                continue
+            best = max((v for v in view_ts if v <= pt),
+                       default=NO_VIEW)
+            if last_view <= pt:
+                best = max(best, last_view)
+            if best > NO_VIEW:
+                out["purchase_id"].append(pid)
+                out["user_id"].append(int(key[0]))
+                out["purchase_tsec"].append(pt)
+                out["view_tsec"].append(best)
+                out["lag_sec"].append(pt - best)
+            # else: no view at-or-before within horizon -> inner-join drop
+        absorbed = [v for v in view_ts if v <= wm]
+        if absorbed:
+            last_view = max(last_view, max(absorbed))
+        view_ts = [v for v in view_ts if v > wm]
+        state.update((last_view, view_ts, keep_ids, keep_ts))
+        if keep_ts:
+            # flush wake-up: timeout fires when the watermark passes the
+            # earliest held purchase (must be set anew every invocation)
+            state.setTimeoutTimestamp(int(min(keep_ts) * 1000) + 1)
+        if out["purchase_id"]:
+            yield pd.DataFrame(out)
+
+    ev = (events
+          .where(F.col("event_type").isin("view", "purchase"))
+          .withWatermark("ts", f"{int(horizon_sec)} seconds")
+          .select("ts", "user_id", "event_id",
+                  F.expr("cast(to_utc_timestamp(ts, 'UTC') as double)")
+                   .alias("tsec"),
+                  F.when(F.col("event_type") == "view", 0).otherwise(1)
+                   .alias("kind")))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        enrich, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
 
 
 def run_triples_stream(

@@ -28,6 +28,9 @@ def test_manifest_records_lineage(spark, tmp_path):
     assert sum(p["rows"] for p in meta["partitions"]) == 100
     for p in meta["partitions"]:
         assert "url_min" in p and "url_max" in p
+    # hot-key guard metric: urls are unique here, so max rows per key is 1
+    hk = meta["metrics"]["hot_key"]
+    assert hk["col"] == "url" and hk["n_keys"] == 100 and hk["max_rows"] == 1
 
     # resume hit (stage + config + model identity all match)
     resumed = try_resume(spark, path, "stage_x", "cfg123", model_hash="m1")
@@ -108,3 +111,29 @@ def test_partial_resume_recomputes_only_missing_stage(spark, tmp_path):
                                            workdir=wd).collect()))
     assert rows1 == rows2
     assert os.path.exists(os.path.join(wd, "s4_resolved", "_kg_manifest.json"))
+
+
+def test_hot_key_guard_metric_surfaces_bot_user(spark, tmp_path):
+    """The funnel/sessionize watch item: per-user collected arrays are
+    bounded only by per-user activity, so a bot user must be OBSERVABLE in
+    the lineage metrics before it straggles a task. write_stage records
+    the per-key row-count max (and which key) for any keyed stage."""
+    import json
+    import os
+
+    from kgforge.checkpoint import hot_key_stats, write_stage
+
+    rows = [(7, i) for i in range(50)] + [(u, 0) for u in range(3)]
+    events = spark.createDataFrame(rows, "user_id long, seq long")
+    stats = hot_key_stats(events, "user_id")
+    assert stats == {"col": "user_id", "n_keys": 4, "max_rows": 50,
+                     "hot_key": "7"}
+
+    path = str(tmp_path / "stage_events")
+    write_stage(events, path, "events", "cfg", url_col=None,
+                hot_key_col="user_id")
+    meta = json.load(open(os.path.join(path, "_kg_manifest.json")))
+    assert meta["metrics"]["hot_key"] == stats
+    # empty frame: metric degrades gracefully
+    assert hot_key_stats(events.where("user_id < 0"), "user_id") == {
+        "col": "user_id", "n_keys": 0, "max_rows": 0, "hot_key": None}

@@ -376,3 +376,87 @@ def test_stream_asof_enrich_matches_batch_and_survives_restart(spark, tmp_path):
     want = {r["purchase_id"]: r["lag_sec"]
             for r in q_asof_join(spark, sf).collect()}
     assert got2 == want
+
+
+def test_stream_asof_enrich_bounded_lateness_attributes_late_view(
+        spark, tmp_path):
+    """The opt-in lateness horizon holds purchases until the watermark
+    passes them, so a view arriving one batch AFTER its purchase (but
+    within the horizon) still attributes — while the default zero-latency
+    mode drops it. Both modes' full outputs are pinned on the same
+    late-view stream."""
+    import datetime
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    from kgforge.streaming import stream_asof_enrich
+
+    ev_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    def write_batch(indir, rows):
+        spark.createDataFrame(
+            [(eid, ts(m), u, et, 1.0, "{}") for eid, m, u, et in rows],
+            schema=ev_schema).coalesce(1).write.mode("append").parquet(indir)
+
+    def run_once(tag, horizon):
+        indir = str(tmp_path / f"{tag}-in")
+        stream = stream_asof_enrich(
+            spark.readStream.schema(ev_schema).format("parquet").load(indir),
+            lateness_horizon_sec=horizon)
+        q = (stream.writeStream.format("parquet")
+             .option("path", str(tmp_path / f"{tag}-out"))
+             .option("checkpointLocation", str(tmp_path / f"{tag}-ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        return {r["purchase_id"]: (r["lag_sec"], r["view_tsec"])
+                for r in spark.read.parquet(
+                    str(tmp_path / f"{tag}-out")).collect()}
+
+    # the late-view scenario, identical for both modes:
+    #   batch 1: u1 view@0  u1 purchase@60m   u2 purchase@30m (no view YET)
+    #            u3 purchase@40m (never gets a view)
+    #   batch 2: u2 view@20m  <- arrives one batch late, ts BEFORE the
+    #            purchase; u9@300m is a watermark clock
+    #   batch 3: u9@600m watermark clock -> flushes the buffer
+    batches = [
+        [(1, 0, 1, "view"), (2, 60, 1, "purchase"),
+         (3, 30, 2, "purchase"), (4, 40, 3, "purchase")],
+        [(5, 20, 2, "view"), (90, 300, 9, "view")],
+        [(91, 600, 9, "view")],
+    ]
+    HOUR = 3600.0
+
+    for tag, horizon in (("lat", HOUR), ("nolat", None)):
+        indir = str(tmp_path / f"{tag}-in")
+        got = {}
+        for b in batches:
+            write_batch(indir, b)
+            got = run_once(tag, horizon)
+        if horizon:
+            # u2's late view attributes (lag 10 min); u3's viewless
+            # purchase drops at flush time; u1 enriches as always
+            assert got == {2: (HOUR, _tsec(ts(0))),
+                           3: (600.0, _tsec(ts(20)))}, got
+        else:
+            # zero-latency mode: u2's purchase was emitted (dropped —
+            # no prior view) before its view arrived
+            assert got == {2: (HOUR, _tsec(ts(0)))}, got
+
+
+def _tsec(dt):
+    import calendar
+    return float(calendar.timegm(dt.timetuple()))
