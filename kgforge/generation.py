@@ -835,9 +835,56 @@ class Summarizer:
 
 
 # --------------------------------------------------------------------------
-# seq2seq ONNX swap path (#23): ONNXConditionalGenerator behind the head
-# protocol, so Summarizer/Translator/ConversationModel swap by construction
+# ONNX swap paths (#23): the session-backed generators behind the head
+# protocol, so every generation pipeline swaps by construction
 # --------------------------------------------------------------------------
+
+class ONNXCausalLMHead(StandInLMHead):
+    """ONNX-served drop-in for the causal ``StandInLMHead`` — the
+    real-runtime swap path for the GPT-2-shaped pipelines (#19 text
+    generation, #22 conversation), completing the ModelResource::{Torch,
+    ONNX} duality at the pipeline surface for the causal family the way
+    ``ONNXSeq2SeqLMHead`` does for seq2seq. Wraps an ``ONNXCausalDecoder``
+    (two-session with/without-past dispatch, onnx/models.rs:218-287):
+    when this call's contexts extend the previous call's by exactly one
+    token per row, only the new token column is fed with the KV cache;
+    any other shape re-feeds the full sequence to the without-past
+    session. Left pads are masked out of attention, mirroring the
+    stand-in's pads-are-invisible contract."""
+
+    def __init__(self, vocab_words: list[str], decoder, seed: int = 42):
+        super().__init__(vocab_words, planted=None, seed=seed,
+                         is_encoder_decoder=False)
+        self.decoder = decoder
+        self.reset_cache()
+
+    def reset_cache(self) -> None:
+        self._prev_contexts: tuple | None = None
+        self._cache = None
+
+    def next_logits(self, contexts: list[list[int]],
+                    encoder_rows: list[list[int]] | None = None) -> np.ndarray:
+        if encoder_rows is not None:
+            raise ValueError("ONNXCausalLMHead is causal-only: "
+                             "encoder_rows must be None")
+        snap = tuple(tuple(int(t) for t in r) for r in contexts)
+        full_ids = np.array([list(c) for c in snap], dtype=np.int64)
+        mask = (full_ids != PAD_ID).astype(np.int64)
+        incremental = (
+            self.decoder.use_past and self._cache is not None
+            and self._prev_contexts is not None
+            and len(snap) == len(self._prev_contexts)
+            and all(len(c) == len(p) + 1 and c[:-1] == p
+                    for c, p in zip(snap, self._prev_contexts)))
+        if incremental:
+            new_ids = full_ids[:, -1:]
+            logits, cache = self.decoder.forward(new_ids, mask,
+                                                 cache=self._cache)
+        else:
+            logits, cache = self.decoder.forward(full_ids, mask)
+        self._prev_contexts = snap
+        self._cache = cache if self.decoder.use_past else None
+        return np.asarray(logits[:, -1, :], dtype=np.float64)
 
 class ONNXSeq2SeqLMHead(StandInLMHead):
     """ONNX-served drop-in for the encoder-decoder ``StandInLMHead`` — the

@@ -135,6 +135,9 @@ class _MockNoPast:
     """Full-sequence causal decoder: recomputes the state from scratch and
     emits per-position logits + the final KV state."""
 
+    def __init__(self):
+        self.calls = 0
+
     def get_inputs(self):
         return [_Meta(n) for n in ("input_ids", "attention_mask",
                                    "position_ids")]
@@ -144,6 +147,7 @@ class _MockNoPast:
                                    "present.0.value")]
 
     def run(self, _names, feed):
+        self.calls += 1
         ids = feed["input_ids"]
         b, t = ids.shape
         S = np.zeros((b,), np.int64)
@@ -158,6 +162,9 @@ class _MockWithPast:
     """Single-new-token decoder: consumes the cached state, never re-reads
     old tokens — the whole point of the with-past session."""
 
+    def __init__(self):
+        self.calls = 0
+
     def get_inputs(self):
         return [_Meta(n) for n in ("input_ids", "attention_mask",
                                    "past_key_values.0.key",
@@ -168,6 +175,7 @@ class _MockWithPast:
                                    "present.0.value")]
 
     def run(self, _names, feed):
+        self.calls += 1
         ids = feed["input_ids"]
         b, t = ids.shape
         assert t == 1, "with-past session receives ONLY the new token"
@@ -495,3 +503,55 @@ def test_translator_onnx_swap():
         ["data join merge"], "English", "French")
     assert a == b and len(a) == 1 and a[0]
     assert ">>" not in a[0]
+
+
+# --------------------------------------------------------------------------
+# causal pipeline swap: TextGenerator / ConversationModel over the ONNX
+# causal head — completes the swap story for the causal generation family
+# --------------------------------------------------------------------------
+
+from kgforge.conversation import ConversationManager, ConversationModel
+from kgforge.generation import ONNXCausalLMHead, TextGenerator
+
+
+def _causal_head(with_past: bool):
+    dec = ONNXCausalDecoder(_MockNoPast(),
+                            _MockWithPast() if with_past else None)
+    head = ONNXCausalLMHead(_WORDS, dec)
+    assert head.vocab_size == _V and not head.is_encoder_decoder
+    return head
+
+
+def test_text_generator_onnx_swap_cached_equals_uncached():
+    """TextGenerator over the cached two-session causal decoder must emit
+    the same continuations as over the no-past-only decoder, the with-past
+    session must actually serve steps, and the prefix contract survives."""
+    cfg = GenerateConfig(do_sample=False, num_beams=1, max_length=8,
+                         min_length=1, no_repeat_ngram_size=3)
+    cached, uncached = _causal_head(True), _causal_head(False)
+    prompts = ["data join", "spark graph merge"]
+    a = TextGenerator(cached, cfg).generate(prompts, prefix="alpha")
+    b = TextGenerator(uncached, cfg).generate(prompts, prefix="alpha")
+    assert a == b and len(a) == 2
+    assert cached.decoder.decoder_with_past.calls > 0
+    assert not any(s.startswith("alpha") for s in a)  # prefix stripped
+
+
+def test_conversation_onnx_swap():
+    """ConversationModel batch responses are identical across the cached
+    and uncached causal decoders, multi-turn (history carried)."""
+    cached, uncached = _causal_head(True), _causal_head(False)
+    outs = []
+    for head in (cached, uncached):
+        model = ConversationModel(head)
+        mgr = ConversationManager()
+        c1 = mgr.create("data join merge")
+        c2 = mgr.create("spark graph")
+        model.generate_responses(mgr)
+        mgr.get(c1).add_user_input("sort beta")
+        mgr.get(c2).add_user_input("alpha data")
+        model.generate_responses(mgr)
+        outs.append([mgr.get(c1).generated_responses,
+                     mgr.get(c2).generated_responses])
+    assert outs[0] == outs[1]
+    assert all(len(r) == 2 for r in outs[0])
