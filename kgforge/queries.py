@@ -532,6 +532,144 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition-quality signals per document (the published
+    'repetitious text' heuristics of the Gopher/MassiveText filter, adapted
+    to word/bigram granularity — this corpus has no newlines): duplicate
+    word fraction, duplicate bigram fraction, and the most frequent
+    bigram's count + character fraction.
+
+    100 TB shape: ZERO shuffle (plan-pinned). The bigram MODE is computed
+    map-side with a single F.aggregate fold over the SORTED bigram array —
+    run-length max with ties to the lexicographically smallest bigram —
+    instead of the explode + groupBy + window plan that would shuffle the
+    corpus twice. All ratios are exact-int divisions (cross-engine exact);
+    the oracle reproduces the tie rule with ORDER BY n DESC, bigram."""
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda x: x != "")
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.length("text").alias("n_chars_t"),
+                 words.alias("words"))
+         .where(F.size("words") >= 2))
+    bigrams = F.transform(F.sequence(F.lit(0), F.size("words") - 2),
+                          lambda i: F.concat_ws(" ", F.slice("words", i + 1, 2)))
+    d = d.select("doc_id", "n_chars_t", "words", bigrams.alias("bigrams"))
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit("").alias("best"), F.lit(0).alias("bestn"))
+
+    def step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), new_run.alias("run"),
+            F.when(new_run > acc["bestn"], x).otherwise(acc["best"])
+             .alias("best"),
+            F.greatest(new_run, acc["bestn"]).alias("bestn"))
+
+    top = F.aggregate(F.array_sort("bigrams"), zero, step)
+    nw = F.size("words").cast("long")
+    nb = F.size("bigrams").cast("long")
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        ((nw - F.size(F.array_distinct("words"))) / nw)
+            .alias("dup_word_frac"),
+        nb.alias("n_bigrams"),
+        ((nb - F.size(F.array_distinct("bigrams"))) / nb)
+            .alias("dup_bigram_frac"),
+        top["best"].alias("top_bigram"),
+        top["bestn"].cast("long").alias("top_bigram_n"),
+        (F.length(top["best"]) * top["bestn"] / F.col("n_chars_t"))
+            .cast("double").alias("top_bigram_char_frac"),
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars_t,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars_t, words,
+         [array_to_string(words[i:i+1], ' ') for i in range(1, len(words))] AS bigrams
+  FROM w WHERE len(words) >= 2
+), e AS (
+  SELECT doc_id, unnest(bigrams) AS bigram FROM s
+), c AS (
+  SELECT doc_id, bigram, count(*) AS n FROM e GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, bigram, n FROM (
+    SELECT doc_id, bigram, n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rn
+    FROM c) WHERE rn = 1
+)
+SELECT s.doc_id,
+       len(s.words) AS n_words,
+       CAST(len(s.words) - len(list_distinct(s.words)) AS DOUBLE)
+         / len(s.words) AS dup_word_frac,
+       len(s.bigrams) AS n_bigrams,
+       CAST(len(s.bigrams) - len(list_distinct(s.bigrams)) AS DOUBLE)
+         / len(s.bigrams) AS dup_bigram_frac,
+       top.bigram AS top_bigram,
+       top.n AS top_bigram_n,
+       CAST(length(top.bigram) * top.n AS DOUBLE) / s.n_chars_t
+         AS top_bigram_char_frac
+FROM s JOIN top ON s.doc_id = top.doc_id
+"""
+
+CONTAM_BENCH_MAX_ID = 20   # benchmark slice: doc_id < 20
+CONTAM_SHINGLE = 5         # 5-word shingles (decontamination granularity)
+
+
+def q_contamination_flags(spark, sf_dir):
+    """Benchmark decontamination — the train/test-overlap detector every
+    LLM training pipeline needs: flag corpus documents sharing any 5-word
+    shingle with the benchmark slice (here the deterministic doc_id < 20
+    slice stands in for the held-out eval set), with the count of distinct
+    shared shingles and of distinct benchmark documents hit.
+
+    100 TB shape: the benchmark side is small by construction (an eval
+    suite, not the corpus), so its exploded shingles BROADCAST and the
+    corpus side never shuffles for the join (plan-pinned: BroadcastHashJoin,
+    no SortMergeJoin); the only corpus shuffle is the per-doc count agg."""
+    n = CONTAM_SHINGLE
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda x: x != "")
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("words") - n),
+        lambda i: F.concat_ws(" ", F.slice("words", i + 1, n))))
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", words.alias("words"))
+         .where(F.size("words") >= n)
+         .select("doc_id", F.explode(sh).alias("sh")))
+    bench = (d.where(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+             .select(F.col("doc_id").alias("bench_id"), "sh"))
+    cand = d.where(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+    return (cand.join(F.broadcast(bench), "sh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("sh").alias("n_hit_shingles"),
+                 F.countDistinct("bench_id").alias("n_bench_docs")))
+
+
+SQL_CONTAMINATION_FLAGS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(words[i:i+4], ' ') for i in range(1, len(words) - 3)])) AS sh
+  FROM w WHERE len(words) >= 5
+)
+SELECT a.doc_id,
+       count(DISTINCT a.sh) AS n_hit_shingles,
+       count(DISTINCT b.doc_id) AS n_bench_docs
+FROM s a JOIN s b ON a.sh = b.sh
+WHERE a.doc_id >= 20 AND b.doc_id < 20
+GROUP BY a.doc_id
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint: min/max word hash + distinct word count."""
     words = F.array_distinct(
@@ -2291,6 +2429,13 @@ QUERIES = {
     "media_image_features": q_media_image_features,
     "media_audio_stats": q_media_audio_stats,
     "media_video_frames": q_media_video_frames,
+    # NEW in round 5, parked past the driver's ~50-key cap ONLY so the
+    # summarize/translate/converse rotation lands (they would be pushed
+    # back out); both are fully DuckDB-oracled by the LOCAL gate
+    # (tests/test_queries_oracle.py runs the identical compare) and rotate
+    # into the swept region next round.
+    "doc_repetition": q_doc_repetition,
+    "contamination_flags": q_contamination_flags,
 }
 
 ORACLES = {
@@ -2303,6 +2448,8 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "kgram_fingerprint": _sql_kgram_fingerprint(),
+    "doc_repetition": SQL_DOC_REPETITION,
+    "contamination_flags": SQL_CONTAMINATION_FLAGS,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "pos_tags": _sql_pos_tags(),
     "sentiment": _sql_sentiment(),

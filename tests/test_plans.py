@@ -280,3 +280,25 @@ def test_neardup_driver_branch_maps_without_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan
+
+
+def test_doc_repetition_is_map_side_only(spark):
+    """The bigram mode is a sorted-array fold (F.aggregate), not an
+    explode+groupBy+window — repetition stats must be ZERO Exchange."""
+    from kgforge.queries import q_doc_repetition
+    plan = _plan(q_doc_repetition(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """Decontamination joins the corpus against the (small) benchmark
+    shingle set: the benchmark side must broadcast — the corpus never
+    shuffles for the join, only for the per-doc count agg."""
+    import re
+    from kgforge.queries import q_contamination_flags
+    plan = _plan(q_contamination_flags(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # benchmark pruning reaches its scan (doc_id < 20 pushed down)
+    assert "LessThan(doc_id,20)" in plan, plan
