@@ -698,6 +698,181 @@ class UnigramTokenizer:
         return TokenizedInput(pieces, ids, begins, ends, masks)
 
 
+# --------------------------------------------------------------------------
+# Unified HF tokenizer.json adapter (src/pipelines/hf_tokenizers.rs)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SpecialTokenMap:
+    """The ``special_token_map.json`` contract the reference deserializes
+    (hf_tokenizers.rs:34-62): ``unk_token`` required, six optional named
+    slots, optional ``additional_special_tokens`` set."""
+    unk_token: str
+    pad_token: str | None = None
+    bos_token: str | None = None
+    sep_token: str | None = None
+    cls_token: str | None = None
+    eos_token: str | None = None
+    mask_token: str | None = None
+    additional_special_tokens: frozenset = frozenset()
+
+    _SLOTS = ("pad_token", "bos_token", "sep_token", "cls_token",
+              "eos_token", "mask_token")
+
+    @staticmethod
+    def _string_or_struct(value):
+        """A slot value is either a plain string or an added-token struct
+        whose ``content`` field carries the string — the reference's
+        string_or_added_token_struct visitor (hf_tokenizers.rs:64-102)."""
+        if isinstance(value, dict):
+            return value.get("content")
+        return value
+
+    @classmethod
+    def from_file(cls, path) -> "SpecialTokenMap":
+        import json
+        with open(path, encoding="utf-8") as f:
+            raw = json.load(f)
+        if "unk_token" not in raw:
+            raise ValueError(
+                f"{path}: special token map requires unk_token")
+        kw = {"unk_token": cls._string_or_struct(raw["unk_token"])}
+        for slot in cls._SLOTS:
+            if slot in raw:
+                kw[slot] = cls._string_or_struct(raw[slot])
+        extra = raw.get("additional_special_tokens")
+        if extra:
+            kw["additional_special_tokens"] = frozenset(
+                cls._string_or_struct(t) for t in extra)
+        return cls(**kw)
+
+    def to_file(self, path) -> None:
+        """Serialize in the plain-string form ``from_file`` reads (the
+        struct form is read-side only, as in the reference)."""
+        import json
+        out: dict = {"unk_token": self.unk_token}
+        for slot in self._SLOTS:
+            v = getattr(self, slot)
+            if v is not None:
+                out[slot] = v
+        if self.additional_special_tokens:
+            out["additional_special_tokens"] = sorted(
+                self.additional_special_tokens)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(out, f, ensure_ascii=False)
+
+
+def from_tokenizer_json(tokenizer_path, special_token_map_path=None):
+    """HFTokenizer::from_file (hf_tokenizers.rs:134-155): mount whatever
+    tokenizer a checkpoint's unified ``tokenizer.json`` describes — the
+    public tokenizers-library schema — dispatching on ``model.type``:
+
+    * ``WordPiece`` -> :class:`WordPieceTokenizer` (vocab map mounted as
+      checkpoint ids; ``lowercase`` / ``strip_accents`` lifted from a
+      BertNormalizer block when present, matching from_vocab_file's flags);
+    * ``BPE`` -> :class:`BPETokenizer` (merges accepted in BOTH published
+      forms: legacy ``"a b"`` strings and the current ``["a", "b"]``
+      pairs; vocab map mounted for convert_token_to_id);
+    * ``Unigram`` -> :class:`UnigramTokenizer` (``[piece, score]`` rows).
+
+    Returns ``(tokenizer, special_token_map)``; the map comes from the
+    sidecar file when given (the reference requires it), else is derived
+    from the model block's ``unk_token`` so single-file checkpoints mount
+    too. The map is also attached to the tokenizer as
+    ``special_token_map``, the field the reference exposes
+    (hf_tokenizers.rs:105-110)."""
+    import json
+    with open(tokenizer_path, encoding="utf-8") as f:
+        spec = json.load(f)
+    model = spec.get("model")
+    if not isinstance(model, dict) or "type" not in model:
+        raise ValueError(f"{tokenizer_path}: no model.type block")
+    mtype = model["type"]
+    if mtype == "WordPiece":
+        vocab = model.get("vocab") or {}
+        norm = spec.get("normalizer") or {}
+        lower = bool(norm.get("lowercase", False))
+        tok = WordPieceTokenizer(
+            vocab, lower_case=lower,
+            strip_accents=norm.get("strip_accents"),
+            max_input_chars_per_word=model.get(
+                "max_input_chars_per_word", 100))
+        tok.token_to_id = dict(vocab)
+        default_unk = model.get("unk_token", WordPieceTokenizer.UNK)
+    elif mtype == "BPE":
+        merges = []
+        for entry in model.get("merges") or []:
+            if isinstance(entry, str):
+                a, b = entry.split(" ")
+            else:
+                a, b = entry
+            merges.append((a, b))
+        tok = BPETokenizer(merges, vocab=model.get("vocab"))
+        default_unk = model.get("unk_token") or "<unk>"
+    elif mtype == "Unigram":
+        tok = UnigramTokenizer(
+            {piece: float(score) for piece, score in model.get("vocab") or []})
+        default_unk = "<unk>"
+    else:
+        raise ValueError(
+            f"{tokenizer_path}: unsupported model.type {mtype!r}")
+    if special_token_map_path is not None:
+        stm = SpecialTokenMap.from_file(special_token_map_path)
+    else:
+        stm = SpecialTokenMap(unk_token=default_unk)
+    tok.special_token_map = stm
+    if mtype == "WordPiece":
+        tok.UNK = stm.unk_token
+    return tok, stm
+
+
+def to_tokenizer_json(tok, tokenizer_path) -> None:
+    """Serialize any of the three tokenizers to the unified
+    ``tokenizer.json`` model block ``from_tokenizer_json`` reads — the
+    write side of the hf_tokenizers.rs surface, so a trained stand-in can
+    be exported to the checkpoint format. Round-trip is bit-identical
+    tokenization (pinned in tests)."""
+    import json
+    if isinstance(tok, WordPieceTokenizer):
+        vocab = getattr(tok, "token_to_id", None) or {
+            t: i for i, t in enumerate(sorted(tok.vocab))}
+        spec = {
+            "version": "1.0",
+            "normalizer": {"type": "BertNormalizer",
+                           "lowercase": tok.lower_case,
+                           "strip_accents": tok.strip_accents},
+            "model": {"type": "WordPiece", "unk_token": tok.UNK,
+                      "continuing_subword_prefix": "##",
+                      "max_input_chars_per_word":
+                          tok.max_input_chars_per_word,
+                      "vocab": vocab},
+        }
+    elif isinstance(tok, BPETokenizer):
+        ordered = [p for p, _ in sorted(tok.ranks.items(),
+                                        key=lambda kv: kv[1])]
+        vocab = tok.vocab
+        if vocab is None:
+            vocab = {_B2U[b]: b for b in range(256)}
+            for a, b in ordered:
+                vocab.setdefault(a + b, len(vocab))
+        spec = {
+            "version": "1.0",
+            "model": {"type": "BPE", "vocab": vocab,
+                      "merges": [[a, b] for a, b in ordered]},
+        }
+    elif isinstance(tok, UnigramTokenizer):
+        spec = {
+            "version": "1.0",
+            "model": {"type": "Unigram",
+                      "vocab": [[p, tok.pieces[p]]
+                                for p in sorted(tok.pieces)]},
+        }
+    else:
+        raise TypeError(f"unsupported tokenizer {type(tok).__name__}")
+    with open(tokenizer_path, "w", encoding="utf-8") as f:
+        json.dump(spec, f, ensure_ascii=False)
+
+
 @dataclass
 class InputFeature:
     """One sliding-window span, with special tokens added.

@@ -649,3 +649,80 @@ def test_unigram_piece_table_roundtrip(tmp_path):
     assert back.pieces == tok.pieces            # scores bit-exact (repr)
     assert back.max_piece_len == tok.max_piece_len
     assert _tok_outputs(back, _FF_TEXTS) == _tok_outputs(tok, _FF_TEXTS)
+
+
+# --------------------------------------------------------------------------
+# unified tokenizer.json adapter (HFTokenizer::from_file,
+# hf_tokenizers.rs:134-155) — export each trained tokenizer to the HF
+# schema, reload, pin bit-identical tokenization; special_token_map.json
+# read in both published slot forms (string and added-token struct)
+# --------------------------------------------------------------------------
+
+def test_tokenizer_json_roundtrip_all_models(tmp_path):
+    from kgforge.tokenization import from_tokenizer_json, to_tokenizer_json
+    p = tmp_path / "tokenizer.json"
+    for tok in (WordPieceTokenizer.from_words(_FF_CORPUS, lower_case=True),
+                BPETokenizer.from_words(_FF_CORPUS),
+                UnigramTokenizer.from_words(_FF_CORPUS)):
+        to_tokenizer_json(tok, p)
+        back, stm = from_tokenizer_json(p)
+        assert type(back) is type(tok)
+        assert _tok_outputs(back, _FF_TEXTS) == _tok_outputs(tok, _FF_TEXTS)
+        assert back.special_token_map is stm
+    # WordPiece carries normalizer flags + checkpoint ids through the file
+    wp = WordPieceTokenizer.from_words(
+        _FF_CORPUS, lower_case=False, strip_accents=True)
+    to_tokenizer_json(wp, p)
+    back, _ = from_tokenizer_json(p)
+    assert (back.lower_case, back.strip_accents) == (False, True)
+    assert back.token_to_id  # vocab map mounted
+    # BPE merges: current pair-list form AND legacy "a b" strings
+    import json
+    spec = json.loads(p.read_text(encoding="utf-8"))
+    bpe = BPETokenizer.from_words(_FF_CORPUS)
+    to_tokenizer_json(bpe, p)
+    spec = json.loads(p.read_text(encoding="utf-8"))
+    assert spec["model"]["merges"] and isinstance(
+        spec["model"]["merges"][0], list)
+    spec["model"]["merges"] = [f"{a} {b}"
+                               for a, b in spec["model"]["merges"]]
+    p.write_text(json.dumps(spec, ensure_ascii=False), encoding="utf-8")
+    legacy, _ = from_tokenizer_json(p)
+    assert legacy.ranks == bpe.ranks
+    assert _tok_outputs(legacy, _FF_TEXTS) == _tok_outputs(bpe, _FF_TEXTS)
+
+
+def test_special_token_map_string_and_struct_forms(tmp_path):
+    import json
+    from kgforge.tokenization import (SpecialTokenMap, from_tokenizer_json,
+                                      to_tokenizer_json)
+    import pytest
+    sp = tmp_path / "special_token_map.json"
+    # struct form: the added-token {"content": ...} wrapper the reference's
+    # string_or_added_token_struct visitor unwraps
+    sp.write_text(json.dumps({
+        "unk_token": "[UNK]",
+        "cls_token": {"content": "[CLS]", "single_word": False},
+        "sep_token": "[SEP]",
+        "additional_special_tokens": [{"content": "<extra_0>"}, "<extra_1>"],
+    }), encoding="utf-8")
+    stm = SpecialTokenMap.from_file(sp)
+    assert (stm.unk_token, stm.cls_token, stm.sep_token) == (
+        "[UNK]", "[CLS]", "[SEP]")
+    assert stm.pad_token is None
+    assert stm.additional_special_tokens == {"<extra_0>", "<extra_1>"}
+    # plain-string serialize -> reload is identity
+    out = tmp_path / "stm_out.json"
+    stm.to_file(out)
+    assert SpecialTokenMap.from_file(out) == stm
+    # sidecar rides into the mounted tokenizer; WordPiece adopts its UNK
+    p = tmp_path / "tokenizer.json"
+    to_tokenizer_json(WordPieceTokenizer.from_words(_FF_CORPUS), p)
+    tok, got = from_tokenizer_json(p, sp)
+    assert got == stm and tok.special_token_map == stm
+    assert tok.UNK == "[UNK]"
+    # unk_token is required, as in the reference's Deserialize
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"pad_token": "<pad>"}), encoding="utf-8")
+    with pytest.raises(ValueError, match="unk_token"):
+        SpecialTokenMap.from_file(bad)
