@@ -209,6 +209,55 @@ def run_kg_only(sf_dir: str, cpus: int, n_pages: int | None = None) -> dict:
     }
 
 
+def _burn(n: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def host_parallel_capacity(low_hot: int = 4, high_hot: int = 16,
+                           n: int = 20_000_000, repeats: int = 3) -> dict:
+    """Measure what parallel CPU capacity the HOST can deliver right now.
+
+    A shared-hypervisor neighbor eating cores or memory bandwidth slows the
+    wide Spark config asymmetrically (local[2] ~ 4 hot threads rides the
+    slack; local[8] ~ 16 hot threads needs every physical core) and caps
+    the MEASURABLE 2->8 efficiency below what the pipeline's plan would
+    deliver on a clean host — observed: a probe ceiling of ~0.70 on the
+    same day a code-identical commit measured 0.94 on a quiet host. The
+    probe runs an identical pure-Python CPU burn solo and at the two
+    widths' hot-thread counts (Spark local[N] drives ~2N hot threads:
+    JVM task thread + Python model worker per core), best-of-``repeats``:
+
+      ceiling = wall(low_hot workers) / wall(high_hot workers)
+
+    == s(low)/s(high), the per-worker slowdown ratio, which is exactly the
+    maximum scaling efficiency ANY job (even embarrassingly parallel) can
+    record between those widths on this host right now. Reported alongside
+    the raw efficiency so a contended host is distinguishable from a plan
+    that stopped scaling."""
+    import multiprocessing as mp
+    walls: dict[int, float] = {}
+    for workers in (1, low_hot, high_hot):
+        best = None
+        for _ in range(repeats):
+            with mp.Pool(workers) as pool:
+                t0 = time.perf_counter()
+                pool.map(_burn, [n] * workers)
+                wall = time.perf_counter() - t0
+            if best is None or wall < best:
+                best = wall
+        walls[workers] = best
+    return {
+        "solo_sec": round(walls[1], 3),
+        f"wall_{low_hot}way_sec": round(walls[low_hot], 3),
+        f"wall_{high_hot}way_sec": round(walls[high_hot], 3),
+        "ceiling": round(walls[low_hot] / walls[high_hot], 4),
+    }
+
+
 def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
                 n_pages: int = 600_000, repeats: int = 3,
                 samples_out: dict | None = None) -> dict:
@@ -226,6 +275,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
     and min-of-N is the standard way to measure capability on shared hosts."""
     results = {}
     samples: dict[int, list[float]] = {low: [], high: []}
+    probe_before = host_parallel_capacity(2 * low, 2 * high)
     for cpus in (low, high):
         best = None
         for _ in range(repeats):
@@ -244,6 +294,8 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
         results[cpus] = best
     if samples_out is not None:
         samples_out.update(samples)
+    probe_after = host_parallel_capacity(2 * low, 2 * high)
+    host_ceiling = round((probe_before["ceiling"] + probe_after["ceiling"]) / 2, 4)
     tput_lo = results[low]["extra"]["triples_per_sec"]
     tput_hi = results[high]["extra"]["triples_per_sec"]
     eff = (tput_hi / tput_lo) / (high / low)
@@ -262,6 +314,10 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8,
             "n_pages": results[high]["extra"]["n_pages"],
             "n_triples": results[high]["extra"]["n_triples"],
             "samples": {str(k): v for k, v in samples.items()},
+            "host_probe_before": probe_before,
+            "host_probe_after": probe_after,
+            "host_ceiling": host_ceiling,
+            "eff_host_normalized": round(eff / host_ceiling, 4),
         },
     }
     _write_baseline_md(report, low, high, samples)
@@ -310,6 +366,32 @@ def _write_baseline_md(report: dict, low: int, high: int,
         f"{report['value']:.3f}** (target >= 0.8 per BASELINE.json; "
         f"eff = (tput_{high}/tput_{low}) / ({high}/{low}))",
     ]
+    if "host_ceiling" in e:
+        pb, pa = e["host_probe_before"], e["host_probe_after"]
+        lines += [
+            "",
+            "## Host parallel-capacity probe (same session as the legs)",
+            "",
+            "A pure-Python CPU burn (no Spark) run solo and at the two",
+            f"widths' hot-thread counts ({2*low} and {2*high}; local[N] drives ~2N hot",
+            "threads), best-of-3. The ceiling wall(narrow)/wall(wide) is the",
+            "per-worker slowdown ratio — the MAXIMUM efficiency any job, even",
+            "an embarrassingly parallel one, can record between these widths",
+            "on this host at measurement time. It separates hypervisor",
+            "contention (neighbor stealing cores/bandwidth) from plan quality.",
+            "",
+            f"| probe | solo | {2*low}-way | {2*high}-way | ceiling |",
+            "|---|---|---|---|---|",
+            f"| before legs | {pb['solo_sec']} | {pb[f'wall_{2*low}way_sec']} | "
+            f"{pb[f'wall_{2*high}way_sec']} | {pb['ceiling']} |",
+            f"| after legs | {pa['solo_sec']} | {pa[f'wall_{2*low}way_sec']} | "
+            f"{pa[f'wall_{2*high}way_sec']} | {pa['ceiling']} |",
+            "",
+            f"**Host ceiling: {e['host_ceiling']:.3f}; host-normalized",
+            f"efficiency (raw / ceiling): {e['eff_host_normalized']:.3f}** —",
+            "the pipeline's own scaling with the host's contention divided",
+            "out.",
+        ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
