@@ -114,6 +114,12 @@ def run_default(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
     protocol as the scaling evidence (BENCH/BASELINE.md): this host's
     hypervisor injects up to ±50% noise on identical runs, and min-of-N
     measures capability, not the hypervisor."""
+    # host capacity probe BEFORE Spark starts (~8s): hypervisor neighbors
+    # intermittently cap this box's wide-parallelism capacity (observed
+    # ceiling 0.70 vs ~1.0 hours apart on identical code, which alone moves
+    # every headline number ~2x) — recording the ceiling in the same JSON
+    # line makes a contended-window bench distinguishable from a regression.
+    host_probe = host_parallel_capacity(4, 16, repeats=2)
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     warmup_sec = _warmup(spark, sf_dir, cpus)
@@ -122,7 +128,8 @@ def run_default(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
     per_query: dict[str, float] = {}
     extra: dict[str, object] = {"cpus": cpus, "sf_dir": sf_dir,
                                 "best_of": {}, "samples": {},
-                                "warmup_sec": warmup_sec}
+                                "warmup_sec": warmup_sec,
+                                "host_capacity_probe": host_probe}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
