@@ -701,6 +701,63 @@ FROM w
 """
 
 
+def q_tfidf_topterms(spark, sf_dir):
+    """Corpus-level TF-IDF top-terms per document — the topicality feature a
+    training-data pipeline derives in two passes (per-doc term frequency,
+    corpus document frequency). Scored with the log-free rational idf
+    ``tf / df``: ranking is identical to ``tf * (N/df)`` for any fixed
+    corpus (N is constant), and the single IEEE-754 division of two exact
+    ints is bit-identical across engines, unlike log/exp (oracle exactness
+    rule). Top-3 per doc, ties broken (score DESC, word ASC).
+
+    100 TB shape: THREE shuffles, each carrying only distinct
+    (doc, word) pairs, never raw tokens — (1) tf groupBy(doc_id, word)
+    with map-side partial aggregation (the explode never crosses the wire),
+    (2) df as count over a word-partitioned window (attaches df with ONE
+    word shuffle instead of a groupBy + self-join's two), (3) the per-doc
+    row_number window. Vocabulary is never collected or broadcast — at
+    corpus scale the df table can exceed any broadcast threshold."""
+    from pyspark.sql import Window
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda x: x != "")
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wd = Window.partitionBy("word")
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(wd))
+        .withColumn("score", F.col("tf").cast("double") / F.col("df"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "word", "tf", "df", "score", "rank")
+    )
+
+
+SQL_TFIDF_TOPTERMS = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+), d AS (
+  SELECT doc_id, word, tf, count(*) OVER (PARTITION BY word) AS df FROM tf
+)
+SELECT doc_id, word, tf, df, score, rank FROM (
+  SELECT doc_id, word, tf, df, tf::DOUBLE / df AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf::DOUBLE / df DESC, word) AS rank
+  FROM d
+)
+WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # model-stage operators with engine-exact SQL heads (textops)
 # --------------------------------------------------------------------------
@@ -2409,6 +2466,7 @@ QUERIES = {
     # --- SQL-oracled: data quality (NEW round 5) ---
     "doc_repetition": q_doc_repetition,
     "contamination_flags": q_contamination_flags,
+    "tfidf_topterms": q_tfidf_topterms,
     # ROTATED FORWARD for round 5 (r4 verdict ask #5): these three had
     # never had a driver CORRECTNESS row — give each one pass this round,
     # then restore them to the tail.
@@ -2423,13 +2481,13 @@ QUERIES = {
     "seq_classify": q_seq_classify,
     "masked_fill": q_masked_fill,
     "qa_extractive": q_qa_extractive,
-    "gen_greedy": q_gen_greedy,
     # Sacrificial tail past the driver's ~50-key cap, costing the least
-    # information: all five are multiply driver-checked in past rounds
+    # information: all six are multiply driver-checked in past rounds
     # (r2-r4), digest-pinned locally, and each has an oracled or
     # recall-gated sibling earlier in the sweep (keywords_freq for MMR,
-    # embedding_topk/ivf for the LSH path). Every SQL-oracled query now
-    # sits inside the swept region.
+    # embedding_topk/ivf for the LSH path, the decode trio for gen_greedy).
+    # Every SQL-oracled query sits inside the swept region.
+    "gen_greedy": q_gen_greedy,
     "keywords_mmr": q_keywords_mmr,
     "embedding_ann_topk": q_embedding_ann_topk,
     "media_image_features": q_media_image_features,
@@ -2449,6 +2507,7 @@ ORACLES = {
     "kgram_fingerprint": _sql_kgram_fingerprint(),
     "doc_repetition": SQL_DOC_REPETITION,
     "contamination_flags": SQL_CONTAMINATION_FLAGS,
+    "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "pos_tags": _sql_pos_tags(),
     "sentiment": _sql_sentiment(),

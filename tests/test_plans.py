@@ -302,3 +302,29 @@ def test_contamination_benchmark_side_broadcasts(spark):
     assert "SortMergeJoin" not in plan, plan
     # benchmark pruning reaches its scan (doc_id < 20 pushed down)
     assert "LessThan(doc_id,20)" in plan, plan
+
+
+def test_tfidf_three_shuffles_no_join_no_broadcast(spark):
+    """TF-IDF top-terms must be the two-pass shape whose shuffles carry
+    only distinct (doc, word) pairs: tf groupBy with map-side partial
+    aggregation (raw tokens never cross the wire), df attached by a
+    word-partitioned window (NOT a groupBy + self-join — no join node at
+    all), and the per-doc rank window with a PARTIAL WindowGroupLimit below
+    its Exchange so the doc_id shuffle carries only top-3 candidates.
+    Exactly three Exchanges; the vocabulary is never collected/broadcast."""
+    import re
+    from kgforge.queries import q_tfidf_topterms
+    df = q_tfidf_topterms(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final_main = final.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final_main)) == 3, \
+        final_main
+    assert "Join" not in final_main, final_main
+    assert "Broadcast" not in final_main, final_main
+    assert "partial_count" in final_main, final_main
+    # tree prints top-down (execution bottom-up): the Partial limit must
+    # sit BELOW the doc_id Exchange, i.e. later in the printed string
+    ix_partial = final_main.find("row_number(), 3, Partial")
+    ix_doc_exchange = final_main.find("Exchange hashpartitioning(doc_id")
+    assert 0 <= ix_doc_exchange < ix_partial, final_main
