@@ -137,6 +137,40 @@ def stream_dedup_pages_within_watermark(pages: DataFrame,
     )
 
 
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization — the streaming sibling of the batch
+    ``q_sessionize`` operator, built on Spark's NATIVE ``session_window``
+    (no custom state code): per-user sessions that close ``gap`` after the
+    last event, emitted once the event-time watermark passes the session
+    end (append mode). A session spanning several micro-batches MERGES in
+    state — the property a per-batch groupBy cannot give you.
+
+    Scale shape: state is one open session window per active user (merged
+    by the engine as events arrive), expired by the watermark — bounded by
+    concurrently-active users within the horizon, never by stream length.
+    The shuffle is the session aggregation's user_id exchange, identical
+    at any width.
+
+    Boundary semantics match the batch operator exactly (pinned in tests):
+    ``session_window`` merges an event arriving at ``last_event + gap``
+    into the open session (merge condition ``next.ts <= session_end``),
+    the same events-stay-together rule as ``q_sessionize``'s strict
+    ``diff > gap`` new-session test — parity with both the static
+    ``session_window`` plan and ``q_sessionize``'s per-user counts is
+    pytest-pinned, including the exact-gap edge."""
+    return (
+        events
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.col("session.start").alias("session_start"),
+                F.col("session.end").alias("session_end"),
+                "n_events")
+    )
+
+
 def stream_asof_enrich(events: DataFrame,
                        lateness_horizon_sec: float | None = None) -> DataFrame:
     """Streaming as-of enrichment — attribution at ingest, the streaming

@@ -460,3 +460,118 @@ def test_stream_asof_enrich_bounded_lateness_attributes_late_view(
 def _tsec(dt):
     import calendar
     return float(calendar.timegm(dt.timetuple()))
+
+
+def test_stream_sessionize_merges_across_batches_and_matches_batch(
+        spark, tmp_path):
+    """Native session_window sessionization: (a) a session spanning two
+    micro-batches MERGES in state (one emitted row, not two); (b) emitted
+    sessions equal the static session_window plan over the union of all
+    events; (c) per-user session counts equal the batch q_sessionize
+    operator's n_sessions; (d) the exact-gap boundary AGREES with the
+    batch operator: an event at last_event + gap merges into the open
+    session on both paths (session_window's merge test is
+    next.ts <= session_end, the complement of q_sessionize's strict
+    diff > gap new-session test)."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    from kgforge.streaming import stream_sessionize
+
+    ev_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(eid, ts(m), u, "view", 1.0, "{}") for eid, m, u in rows],
+            schema=ev_schema).coalesce(1).write.mode("append").parquet(indir)
+
+    def run_once():
+        stream = stream_sessionize(
+            spark.readStream.schema(ev_schema).format("parquet").load(indir))
+        q = (stream.writeStream.format("parquet")
+             .option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    # batch 1: u1 events at 0 and 10 (one open session); u2 single event
+    b1 = [(0, 0, 1), (1, 10, 1), (2, 5, 2)]
+    # batch 2: u1 continues at 25 (within 30min of 10 -> MERGES into the
+    # batch-1 session); u2 again at 95 (gap 90min -> second session);
+    # sentinel u99 far ahead drives the watermark past every real session
+    b2 = [(3, 25, 1), (4, 95, 2), (5, 10_000, 99)]
+    write_batch(b1)
+    run_once()
+    write_batch(b2)
+    run_once()
+    got = {(r["user_id"], r["session_start"], r["n_events"])
+           for r in spark.read.parquet(outdir).collect()}
+    # u1: ONE merged session 0..25 with 3 events (cross-batch merge)
+    assert (1, ts(0), 3) in got
+    assert {(u, s, n) for (u, s, n) in got if u == 1} == {(1, ts(0), 3)}
+    # u2: two sessions
+    assert {(u, s, n) for (u, s, n) in got if u == 2} == {
+        (2, ts(5), 1), (2, ts(95), 1)}
+    assert all(u != 99 for (u, _, _) in got)  # sentinel never closed
+
+    # (b) static session_window parity over the union (sentinel excluded)
+    all_rows = [(eid, ts(m), u, "view", 1.0, "{}")
+                for eid, m, u in b1 + b2 if u != 99]
+    static = (spark.createDataFrame(all_rows, schema=ev_schema)
+              .groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("session"))
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select("user_id", F.col("session.start").alias("s"),
+                      "n_events"))
+    want = {(r["user_id"], r["s"], r["n_events"]) for r in static.collect()}
+    assert got == want
+
+    # (c) per-user session counts match the batch q_sessionize operator
+    import os
+    from kgforge.queries import q_sessionize
+    sf = str(tmp_path / "batchsf")
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        [{"event_id": eid, "ts": ts(m), "user_id": u, "event_type": "view",
+          "value": 1.0, "props": "{}"} for eid, m, u in b1 + b2 if u != 99]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(f"{sf}/events.parquet")
+    batch_counts = {r["user_id"]: r["n_sessions"]
+                    for r in q_sessionize(spark, sf).collect()}
+    stream_counts: dict[int, int] = {}
+    for (u, _, _) in got:
+        stream_counts[u] = stream_counts.get(u, 0) + 1
+    assert stream_counts == batch_counts  # {1: 1, 2: 2}
+
+    # (d) exact-gap boundary: 0 and 30min stay ONE session on BOTH paths.
+    edge = [(0, ts(0), 7, "view", 1.0, "{}"),
+            (1, ts(30), 7, "view", 1.0, "{}")]
+    n_stream = (spark.createDataFrame(edge, schema=ev_schema)
+                .groupBy("user_id",
+                         F.session_window("ts", "30 minutes"))
+                .count().count())
+    pd.DataFrame(
+        [{"event_id": e, "ts": t, "user_id": u, "event_type": et,
+          "value": v, "props": p} for e, t, u, et, v, p in edge]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(f"{sf}/events.parquet")
+    n_batch = q_sessionize(spark, sf).collect()[0]["n_sessions"]
+    assert (n_stream, n_batch) == (1, 1)
