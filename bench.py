@@ -45,6 +45,9 @@ HEADLINE = [
     "funnel_conversion",   # one-pass funnel; tracks the r3 rebuild
     "topk_per_group",
     "broadcast_join",
+    "doc_repetition",      # r5: Gopher repetition signals, zero-shuffle
+    "contamination_flags", # r5: benchmark decontamination, broadcast join
+    "tfidf_topterms",      # r5: two-pass TF-IDF, 3 distinct-pair shuffles
 ]
 
 
