@@ -758,6 +758,92 @@ WHERE rank <= 3
 """
 
 
+PACK_BLOCK = 512
+
+
+def q_pack_manifest(spark, sf_dir):
+    """Sequence-packing manifest — the concat-and-chunk step every LLM
+    training job runs over its corpus: documents are tokenized,
+    concatenated in a fixed global order (doc_id), and sliced into
+    fixed-size training blocks (PACK_BLOCK tokens); the manifest maps each
+    document to its global token offset and block span
+    (first_block/last_block/offset_in_block), which is exactly what a
+    trainer needs to shard the corpus into samples without materializing
+    the concatenation. Pure integer math end to end — cross-engine exact.
+
+    100 TB shape: a global weighted prefix sum WITHOUT the naive global
+    window (``Window.orderBy(doc_id)`` plans a SinglePartition exchange —
+    the whole corpus through one task). Instead the distributed-scan
+    shape, same family as _ranked_events' two-phase rank: ONE range
+    exchange on doc_id; per-partition exclusive cumsum in ONE Arrow pass
+    (vectorized, order-preserving); per-partition token totals computed on
+    a second branch of the SAME exchange (AQE ReusedExchange — the corpus
+    is shuffled once, plan-pinned) and turned into partition offsets by a
+    window over the tiny P-row frame; broadcast-joined back. Output is
+    partitioning-independent: offset = partition offset + local prefix
+    under the doc_id total order, whatever P is."""
+    from pyspark.sql import Window
+    p = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda x: x != "")
+    ranged = (_docs(spark, sf_dir)
+              .select("doc_id", F.size(words).cast("long").alias("n_tokens"))
+              .repartitionByRange(p, "doc_id"))
+    base = ranged.sortWithinPartitions("doc_id")
+
+    def local_prefix(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            csum = pdf["n_tokens"].cumsum()
+            yield pdf.assign(pid=pid,
+                             local_off=run + csum - pdf["n_tokens"])
+            run += int(pdf["n_tokens"].sum())
+
+    mapped = base.mapInPandas(
+        local_prefix, "doc_id long, n_tokens long, pid int, local_off long")
+    # totals ride the unsorted branch: per-pid sums need no in-partition
+    # order, so the second branch skips the sort and reduces map-side
+    totals = (ranged.select(F.spark_partition_id().alias("pid"), "n_tokens")
+              .groupBy("pid").agg(F.sum("n_tokens").alias("cnt")))
+    offs = totals.select(
+        "pid",
+        (F.sum("cnt").over(Window.orderBy("pid")) - F.col("cnt"))
+        .alias("part_off"))
+    b = PACK_BLOCK
+    return (
+        mapped.join(F.broadcast(offs), "pid")
+        .withColumn("offset", F.col("part_off") + F.col("local_off"))
+        .select("doc_id", "n_tokens", "offset",
+                F.expr(f"offset div {b}").alias("first_block"),
+                F.expr(f"(offset + greatest(n_tokens, 1L) - 1) div {b}")
+                .alias("last_block"),
+                (F.col("offset") % b).alias("offset_in_block"))
+    )
+
+
+SQL_PACK_MANIFEST = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       "offset" // {PACK_BLOCK} AS first_block,
+       ("offset" + greatest(n_tokens, 1) - 1) // {PACK_BLOCK} AS last_block,
+       "offset" % {PACK_BLOCK} AS offset_in_block
+FROM o
+"""
+
+
 # --------------------------------------------------------------------------
 # model-stage operators with engine-exact SQL heads (textops)
 # --------------------------------------------------------------------------
@@ -2467,6 +2553,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "contamination_flags": q_contamination_flags,
     "tfidf_topterms": q_tfidf_topterms,
+    "pack_manifest": q_pack_manifest,
     # ROTATED FORWARD for round 5 (r4 verdict ask #5): these three had
     # never had a driver CORRECTNESS row — give each one pass this round,
     # then restore them to the tail.
@@ -2480,13 +2567,14 @@ QUERIES = {
     "kgram_cardinality_sketch": q_kgram_cardinality_sketch,
     "seq_classify": q_seq_classify,
     "masked_fill": q_masked_fill,
-    "qa_extractive": q_qa_extractive,
     # Sacrificial tail past the driver's ~50-key cap, costing the least
-    # information: all six are multiply driver-checked in past rounds
+    # information: all seven are multiply driver-checked in past rounds
     # (r2-r4), digest-pinned locally, and each has an oracled or
     # recall-gated sibling earlier in the sweep (keywords_freq for MMR,
-    # embedding_topk/ivf for the LSH path, the decode trio for gen_greedy).
+    # embedding_topk/ivf for the LSH path, the decode trio for gen_greedy,
+    # masked_fill/seq_classify for the encoder head behind QA).
     # Every SQL-oracled query sits inside the swept region.
+    "qa_extractive": q_qa_extractive,
     "gen_greedy": q_gen_greedy,
     "keywords_mmr": q_keywords_mmr,
     "embedding_ann_topk": q_embedding_ann_topk,
@@ -2508,6 +2596,7 @@ ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
     "contamination_flags": SQL_CONTAMINATION_FLAGS,
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
+    "pack_manifest": SQL_PACK_MANIFEST,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "pos_tags": _sql_pos_tags(),
     "sentiment": _sql_sentiment(),

@@ -19,9 +19,15 @@ def _plan(df) -> str:
 
 
 def test_filter_pushdown_to_parquet_scan(spark):
+    """The doc_id bound must reach the parquet scan. Asserted on the
+    LessThan only: the IsNotNull companion is INFERRED by constraint
+    propagation, which q_ngram_jaccard_pairs deliberately leaves disabled
+    on the session (documented there) — so its presence depends on test
+    order, while the user-written predicate must push regardless."""
+    import re
     from kgforge.queries import q_pos_tags
     plan = _plan(q_pos_tags(spark, SF))
-    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]" in plan
+    assert re.search(r"PushedFilters: \[.*LessThan\(doc_id,50\)", plan), plan
 
 
 def test_column_pruning_on_documents(spark):
@@ -65,10 +71,13 @@ def test_link_stage_has_no_shuffle(spark, tiny_pages_df, alias_df):
 
 def test_gen_query_filter_pushed_to_scan(spark):
     """The generation queries' doc_id bound must reach the parquet scan —
-    decoding is expensive, scanning is not the place to pay for it."""
+    decoding is expensive, scanning is not the place to pay for it.
+    (LessThan only: the inferred IsNotNull is order-dependent, see
+    test_filter_pushdown_to_parquet_scan.)"""
+    import re
     from kgforge.queries import q_gen_greedy
     plan = _plan(q_gen_greedy(spark, SF))
-    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in plan
+    assert re.search(r"PushedFilters: \[.*LessThan\(doc_id,200\)", plan), plan
 
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
@@ -328,3 +337,34 @@ def test_tfidf_three_shuffles_no_join_no_broadcast(spark):
     ix_partial = final_main.find("row_number(), 3, Partial")
     ix_doc_exchange = final_main.find("Exchange hashpartitioning(doc_id")
     assert 0 <= ix_doc_exchange < ix_partial, final_main
+
+
+def test_pack_manifest_single_corpus_shuffle_reused(spark):
+    """The packing manifest's global prefix sum must be the distributed-
+    scan shape: the corpus is scanned ONCE and range-shuffled ONCE — the
+    per-partition totals branch rides an AQE ReusedExchange of the same
+    range exchange (never a second scan/shuffle), reduces map-side
+    (partial_sum), and only the tiny P-row offsets frame passes through
+    the SinglePartition window before broadcasting back. No global window
+    over the corpus, no sort-merge join."""
+    import re
+    from kgforge.queries import q_pack_manifest
+    df = q_pack_manifest(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final_main = final.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"FileScan parquet", final_main)) == 1, final_main
+    assert "ReusedExchange" in final_main, final_main
+    # every range-exchange mention resolves to ONE physical exchange
+    ids = set(re.findall(r"Exchange rangepartitioning.*plan_id=(\d+)",
+                         final_main))
+    assert len(ids) == 1, final_main
+    assert "BroadcastHashJoin" in final_main, final_main
+    assert "SortMergeJoin" not in final_main, final_main
+    assert "partial_sum" in final_main, final_main
+    # the only SinglePartition exchange feeds the tiny per-pid totals
+    # window (its child, printed below it, is the pid aggregate) — the
+    # corpus itself never collapses to one partition
+    ix_sp = final_main.find("Exchange SinglePartition")
+    ix_pid_agg = final_main.find("HashAggregate(keys=[pid")
+    assert 0 <= ix_sp < ix_pid_agg, final_main

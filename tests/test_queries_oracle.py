@@ -293,3 +293,51 @@ def test_neardup_distributed_branch_matches_driver_branch(spark, monkeypatch):
     got = sorted((r["doc_id"], r["cluster_id"], r["is_keeper"])
                  for r in q.q_neardup_clusters(spark, SF_DIR).collect())
     assert got == want and len(got) > 0
+
+
+def test_pack_manifest_empty_doc_edge_and_continuity(spark, tmp_path, ddb):
+    """Zero-token documents must occupy zero tokens of the packed stream
+    (offset continuity: next offset == offset + n_tokens) while still
+    getting a well-formed one-block span (last_block == first_block via
+    the greatest(n_tokens, 1) guard) — pinned against DuckDB on a crafted
+    corpus with empty, whitespace-only, and boundary-straddling docs."""
+    import os
+
+    import pandas as pd
+
+    from kgforge.queries import PACK_BLOCK, q_pack_manifest
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["w " * (PACK_BLOCK - 3),   # ends 3 short of block 0's edge
+                 "",                          # zero tokens
+                 "   ",                       # whitespace-only: zero tokens
+                 "a b c d e f",               # straddles the block boundary
+                 "tail doc"],
+        "lang": ["en"] * 5, "source": ["s"] * 5, "n_chars": [1] * 5,
+    })
+    docs.to_parquet(f"{sf}/documents.parquet")
+    got = (q_pack_manifest(spark, sf).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # continuity: offsets are the exclusive prefix sum of n_tokens
+    assert list(got["offset"]) == list(
+        got["n_tokens"].cumsum() - got["n_tokens"])
+    # empty docs: zero width, single well-formed block
+    for i in (1, 2):
+        assert got.loc[i, "n_tokens"] == 0
+        assert got.loc[i, "first_block"] == got.loc[i, "last_block"]
+    # doc 3 starts 3 tokens before the block edge and is 6 long: straddles
+    assert (got.loc[3, "first_block"], got.loc[3, "last_block"]) == (0, 1)
+    assert got.loc[3, "offset_in_block"] == PACK_BLOCK - 3
+    # cross-engine parity on the same crafted corpus
+    import duckdb
+    from kgforge.queries import SQL_PACK_MANIFEST
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(SQL_PACK_MANIFEST).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
