@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_repetition",      # r5: Gopher repetition signals, zero-shuffle
     "contamination_flags", # r5: benchmark decontamination, broadcast join
     "tfidf_topterms",      # r5: two-pass TF-IDF, 3 distinct-pair shuffles
+    "pack_manifest",       # r5: distributed prefix sum, 1 reused exchange
 ]
 
 
