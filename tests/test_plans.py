@@ -368,3 +368,23 @@ def test_pack_manifest_single_corpus_shuffle_reused(spark):
     ix_sp = final_main.find("Exchange SinglePartition")
     ix_pid_agg = final_main.find("HashAggregate(keys=[pid")
     assert 0 <= ix_sp < ix_pid_agg, final_main
+
+
+def test_mixture_sample_no_corpus_shuffle(spark):
+    """Closed-loop mixture sampling must be two passes and NO corpus
+    shuffle: the counts pass scans ONLY the source column (pruned scan),
+    quotas broadcast back, and the only Exchange in the plan is the tiny
+    per-source count aggregation — corpus rows never shuffle or hit a
+    sort-merge join."""
+    import re
+    from kgforge.queries import q_mixture_sample
+    df = q_mixture_sample(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final_main = final.split("== Initial Plan ==")[0]
+    schemas = re.findall(r"ReadSchema: (\S+)", final_main)
+    assert "struct<source:string>" in schemas, schemas
+    assert "BroadcastHashJoin" in final_main, final_main
+    assert "SortMergeJoin" not in final_main, final_main
+    ex = re.findall(r"Exchange hashpartitioning\((\w+)", final_main)
+    assert set(ex) <= {"source"}, final_main
