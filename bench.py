@@ -49,6 +49,7 @@ HEADLINE = [
     "contamination_flags", # r5: benchmark decontamination, broadcast join
     "tfidf_topterms",      # r5: two-pass TF-IDF, 3 distinct-pair shuffles
     "pack_manifest",       # r5: distributed prefix sum, 1 reused exchange
+    "mixture_sample",      # r5: data-mix quotas, no corpus shuffle
 ]
 
 
