@@ -2558,6 +2558,25 @@ def q_kg_entities(spark, sf_dir):
         "url", "sent_idx", "word", "label", "begin", "end")
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the canonicalized (subj -> obj) entity graph the
+    pipeline emits — the hub-entity signal a corpus-scale KG reports
+    (kgforge.graphrank: iterative DataFrame rounds with canon-style
+    lineage hygiene; deterministic sorted-fold contributions so the
+    result is digest-pinnable, self-loop sink variant). Rows-only:
+    iterative float fixpoints are not SQL-expressible; value-gated by
+    the golden digest plus a pure-Python power-iteration parity test."""
+    from .graphrank import pagerank
+    from .pipeline import run_pipeline
+    pages = pages_from_documents(spark, sf_dir)
+    triples = run_pipeline(spark, pages, _alias_df(spark), PipelineConfig())
+    edges = triples.select(F.col("subj_id").alias("src"),
+                           F.col("obj_id").alias("dst"))
+    return (pagerank(edges)
+            .select(F.col("node").alias("entity_id"),
+                    F.round("rank", 8).alias("rank")))
+
+
 def q_kg_linked(spark, sf_dir):
     """Stage-4 resolution output."""
     from .pipeline import (repartition_by_length, stage_extract_sentences,
@@ -2638,6 +2657,7 @@ QUERIES = {
     "translate_m2m": q_translate_m2m,
     "converse": q_converse,
     # --- rows-only (each value-pinned by a golden digest locally) ---
+    "kg_pagerank": q_kg_pagerank,
     "kg_doc_embeddings": q_kg_doc_embeddings,
     "kg_zero_shot": q_kg_zero_shot,
     "embedding_ivf_topk": q_embedding_ivf_topk,

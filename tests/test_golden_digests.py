@@ -44,6 +44,10 @@ GOLDEN = [
     ("kg_entities", "4f20b5679d0b6ea924c0f1cc6fe3027f", 2430),
     ("kg_linked", "618ee191cb4b83c411404d06a56d63c6", 2430),
     ("kg_triples", "087d41896149280a863a79fc36789e6d", 816),
+    # pinned 2026-08-17 (round 5, new operator): deterministic sorted-fold
+    # PageRank over the triple graph; digest verified identical under
+    # 16 and 7 shuffle partitions
+    ("kg_pagerank", "165b0b989c8d8fd6661754c93a92a309", 124),
 ]
 
 
