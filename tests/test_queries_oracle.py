@@ -82,7 +82,8 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     # non-oracled entries are exactly the model-pipeline / approximate ops
     assert set(qs) - set(oracles) == {
         "kg_triples", "kg_entities", "kg_linked", "kg_doc_embeddings",
-        "kg_zero_shot", "embedding_ann_topk", "embedding_ivf_topk",
+        "kg_zero_shot", "kg_pagerank",
+        "embedding_ann_topk", "embedding_ivf_topk",
         "kgram_cardinality_sketch",
         "gen_greedy", "summarize_beam", "translate_m2m",
         "seq_classify", "masked_fill", "qa_extractive",
