@@ -46,20 +46,29 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = DAMPING,
     Returns (node, rank). Edges are deduplicated; sinks get self-loops
     (see module docstring). ``iters`` fixed rounds — at corpus scale a
     fixed small K is the norm (convergence tests cost a full pass each)."""
-    spark = edges.sparkSession
-    e = edges.select(F.col("src").cast("string").alias("src"),
-                     F.col("dst").cast("string").alias("dst")).distinct()
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
-    sinks = nodes.join(e.select(F.col("src").alias("node")).distinct(),
+    # Materialization boundaries matter: edges may carry an ARBITRARILY
+    # expensive lineage (kg_pagerank feeds the full pipeline's triples in),
+    # and the loop runs one job per round — so the deduped edge set is
+    # persisted and the node set localCheckpointed (lineage CUT) before the
+    # first round, or every round would recompute the upstream plan.
+    e0 = (edges.select(F.col("src").cast("string").alias("src"),
+                       F.col("dst").cast("string").alias("dst"))
+          .distinct().persist())
+    nodes = (e0.select(F.col("src").alias("node"))
+             .union(e0.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint(eager=True))   # also materializes e0
+    sinks = nodes.join(e0.select(F.col("src").alias("node")).distinct(),
                        "node", "left_anti")
-    e = e.union(sinks.select(F.col("node").alias("src"),
-                             F.col("node").alias("dst")))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e = e.join(deg, "src").persist()
+    full = e0.union(sinks.select(F.col("node").alias("src"),
+                                 F.col("node").alias("dst")))
+    deg = full.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = full.join(deg, "src").persist()
     n_nodes = nodes.count()          # bounded: one long per task partial
     if n_nodes == 0:
         e.unpersist()
+        e0.unpersist()
+        # nodes' zero-row checkpoint is not released: the returned frame
+        # still reads through it (released frames are dead)
         return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = (nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
              .localCheckpoint(eager=True))
@@ -86,4 +95,6 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = DAMPING,
         _release_local_checkpoint(ranks)
         ranks = nxt
     e.unpersist()
+    e0.unpersist()
+    _release_local_checkpoint(nodes)     # final ranks hold their own blocks
     return ranks
