@@ -2384,6 +2384,52 @@ CROSS JOIN (
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix — the standard growth-analytics
+    shape: cohort = each user's FIRST active epoch-week, then distinct
+    active users per (cohort_week, week_offset). Pure integer week math
+    (epoch seconds truncated to bigint, floor-divided by 604800) so the
+    matrix is engine-exact; the NTZ timestamp is read as UTC on both
+    engines (to_utc_timestamp cast == epoch(), the repo-wide idiom).
+
+    100 TB shape: two shuffles, both on keys that partial-aggregate —
+    (1) the per-user first-week window (user_id exchange; a groupBy +
+    self-join would shuffle events twice), (2) the cohort-cell distinct
+    count (two-phase partial distinct). No driver state, no collect.
+
+    Week via floor(epoch/604800.0), NOT a double->int cast: Spark casts by
+    truncation but DuckDB by rounding, while floor of the same IEEE
+    division is bit-identical on both."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(floor(cast(to_utc_timestamp(ts, 'UTC') as double)"
+               " / 604800.0) as bigint)").alias("week"))
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
+    return (
+        ev.withColumn("cohort_week", cohort)
+        .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS week FROM events
+), c AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM e
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM c
+GROUP BY cohort_week, week - cohort_week
+"""
+
+
 def q_rollup_metrics(spark, sf_dir):
     """Metrics-reporting rollup (§2.3 'grouping sets / cube / rollup' row):
     order counts + exact integer sums at (status, priority), (status), ()
@@ -2650,6 +2696,7 @@ QUERIES = {
     "tfidf_topterms": q_tfidf_topterms,
     "pack_manifest": q_pack_manifest,
     "mixture_sample": q_mixture_sample,
+    "retention_cohorts": q_retention_cohorts,
     # ROTATED FORWARD for round 5 (r4 verdict ask #5): these three had
     # never had a driver CORRECTNESS row — give each one pass this round,
     # then restore them to the tail.
@@ -2695,6 +2742,7 @@ ORACLES = {
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "pack_manifest": SQL_PACK_MANIFEST,
     "mixture_sample": _sql_mixture_sample(),
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "pos_tags": _sql_pos_tags(),
     "sentiment": _sql_sentiment(),
