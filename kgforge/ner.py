@@ -128,25 +128,36 @@ def predict_tokens(
         logits = encoder.forward(ids, attn, cont, piece_texts)
         scores = softmax(logits, axis=-1)
         label_idx = np.argmax(scores, axis=-1)
+        # gather each position's winning score in ONE vectorized pass (the
+        # per-token scores[bi, pos, li] numpy indexing dominated this loop);
+        # .tolist() hands the decode loop plain Python ints/floats with the
+        # identical float64 bits
+        top_scores = np.take_along_axis(
+            scores, label_idx[..., None], axis=-1)[..., 0]
         for bi, feat in enumerate(batch):
             word_idx = 0
+            text = texts[feat.example_index]
+            tlen = len(text)
+            toks = example_tokens[feat.example_index]
+            li_row = label_idx[bi].tolist()
+            sc_row = top_scores[bi].tolist()
+            fmasks, fbegins, fends = feat.masks, feat.begins, feat.ends
             for pos, owned in enumerate(feat.reference_feature):
                 if not owned:
                     continue
-                mask = feat.masks[pos]
+                mask = fmasks[pos]
                 if mask == MASK_SPECIAL and not return_special:
                     continue
                 if mask != MASK_CONTINUATION:
                     word_idx += 1
-                li = int(label_idx[bi, pos])
-                begin, end = feat.begins[pos], feat.ends[pos]
-                text = texts[feat.example_index]
+                li = li_row[pos]
+                begin, end = fbegins[pos], fends[pos]
                 # decode_token: char-offset slice of the original string
                 # (token_classification.rs:1108-1117), end clamped to len
-                tok_text = text[begin:min(end, len(text))] if begin >= 0 else ""
-                example_tokens[feat.example_index].append(Token(
+                tok_text = text[begin:min(end, tlen)] if begin >= 0 else ""
+                toks.append(Token(
                     text=tok_text,
-                    score=float(scores[bi, pos, li]),
+                    score=sc_row[pos],
                     label=labels[li],
                     label_index=li,
                     sentence=feat.example_index,

@@ -40,6 +40,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Single-file single-row-group parquet scans yield ONE input partition
+    (CLAUDE.md trap; a row group cannot be split, so maxPartitionBytes is
+    powerless), which serializes every pre-shuffle expression chain onto one
+    task — invisible in count()-pruned projections, a 10-30x straggler in
+    any query whose count() forces full compute (joins, windows, Arrow
+    passes). Fan the scan out to the session's parallelism FIRST (project
+    the needed columns before calling, so the tiny exchange carries only
+    them); at real scale the scan already has >= parallelism splits and
+    this no-ops — the same guard pages_from_documents has always had.
+
+    NOTE callers put row filters BEFORE this guard when they want scan
+    pushdown (a filter above the repartition is pushed below it anyway,
+    which would evaluate the predicate on the serial scan task — fine for
+    cheap predicates, pathological for derived-column ones)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -311,7 +332,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir,
     buckets, never across the corpus.
 
     Plan shape (pinned in tests/test_plans.py): the band is computed INLINE
-    next to the word set in ONE projection over ONE ``documents`` scan; one
+    next to the word set in ONE projection over ONE ``documents`` scan
+    (fanned out to the session parallelism first — the md5-shingle chain is
+    the dominant compute and must never run on a lone scan task); one
     Exchange (hash on band) feeds a window count n = |band|, then bands
     route by size:
 
@@ -344,16 +367,26 @@ def q_ngram_jaccard_pairs(spark, sf_dir,
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
     # band = mh1 of q_minhash_signature, computed inline (same split feeds
-    # the distinct word set — no second scan).  Filter on size(words) BEFORE
-    # the band projection: pushdown then duplicates only the cheap split,
-    # not the shingle/md5 chain (a band-isNotNull filter would).
-    band = F.array_min(F.transform(
-        F.transform(F.sequence(F.lit(0), F.size("words") - 3),
-                    lambda i: F.concat_ws(" ", F.slice("words", i + 1, 3))),
-        lambda s: F.md5(F.concat(F.lit(_MINHASH_SEEDS[0]), F.lit("|"), s))))
-    d = (_docs(spark, sf_dir)
+    # the distinct word set — no second scan). NO row filter anywhere: a
+    # ``where(size(words) >= 3)`` would be pushed below the _fanout
+    # exchange and evaluate its split serially on the single scan task
+    # (and a band-isNotNull filter would duplicate the whole md5 chain
+    # there). Instead short docs (<3 words, no shingle) get a synthetic
+    # per-doc-unique band, so the existing n >= 2 window filter drops
+    # them — value-identical to the oracle's ``len(words) >= 3`` gate.
+    shingle_md5 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1))),
+        lambda i: F.when(
+            F.size("words") >= 3,
+            F.md5(F.concat(F.lit(_MINHASH_SEEDS[0]), F.lit("|"),
+                           F.concat_ws(" ", F.slice("words", i, 3))))))
+    band = F.coalesce(F.array_min(shingle_md5),
+                      F.concat(F.lit("short:"), F.col("doc_id")))
+    # _fanout before the band/ws projection: the md5-shingle chain is the
+    # query's dominant compute, and a single-row-group scan would run it
+    # all on one task
+    d = (_fanout(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
          .select("doc_id", "lang", words.alias("words"))
-         .where(F.size("words") >= 3)
          .select("doc_id", "lang", F.array_distinct("words").alias("ws"),
                  band.alias("band")))
     dn = (d.withColumn("n", F.count(F.lit(1))
@@ -385,15 +418,23 @@ def q_ngram_jaccard_pairs(spark, sf_dir,
               .where(F.col("id_a") < F.col("id_b"))
               .drop("band"))
     xy = xy_small.unionByName(xy_hot)
-    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    union = F.size(F.array_union("ws_a", "ws_b")).cast("double")
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct ws sets: ONE set
+    # operation per pair instead of intersect + union (exact integer
+    # identity, same double division — value-identical to the oracle's
+    # list_distinct(list_concat(...)) denominator). ni is materialized at
+    # a projection boundary so array_intersect runs once per pair.
+    sized = (xy.where(F.col("lang_a") == F.col("lang_b"))
+             .select("id_a", "id_b",
+                     F.size(F.array_intersect("ws_a", "ws_b")).alias("ni"),
+                     (F.size("ws_a") + F.size("ws_b")).alias("na_nb")))
     return (
-        xy.where(F.col("lang_a") == F.col("lang_b"))
         # collect_list order within a bucket is arbitrary: name the pair by
         # id order (jaccard is symmetric, each unordered pair appears once)
-        .select(F.least("id_a", "id_b").alias("doc_a"),
-                F.greatest("id_a", "id_b").alias("doc_b"),
-                (inter / union).alias("jaccard"))
+        sized.select(F.least("id_a", "id_b").alias("doc_a"),
+                     F.greatest("id_a", "id_b").alias("doc_b"),
+                     (F.col("ni").cast("double")
+                      / (F.col("na_nb") - F.col("ni")).cast("double"))
+                     .alias("jaccard"))
         .where(F.col("jaccard") >= 0.2)
     )
 
@@ -423,8 +464,16 @@ WHERE a.doc_id < b.doc_id AND a.lang = b.lang
 
 
 # driver-side union-find ceiling for near-dup clustering (see
-# q_neardup_clusters; tests monkeypatch this to force the distributed branch)
-NEARDUP_COLLECT_THRESHOLD = 200_000
+# q_neardup_clusters; tests monkeypatch this to force the distributed
+# branch). Sized by driver MEMORY, not caution: 2M pairs is ~32 MB of
+# int64 tuples + a component dict bounded by node count — far below the
+# 24g driver heap — while the distributed large-star/small-star rounds
+# cost seconds of fixed overhead per iteration (measured r6: 286k pairs
+# took the distributed branch under the old 200k ceiling and spent ~6s
+# where driver union-find takes 0.23s + one Arrow transfer). At real
+# corpus scale the pair graph blows past any driver ceiling and the
+# distributed branch still runs.
+NEARDUP_COLLECT_THRESHOLD = 2_000_000
 
 
 def q_neardup_clusters(spark, sf_dir):
@@ -458,8 +507,13 @@ def q_neardup_clusters(spark, sf_dir):
     n_pairs = pairs.count()
     docs = _docs(spark, sf_dir).select("doc_id")
     if n_pairs <= collect_threshold:
-        comp = cc_unionfind([(int(r["doc_a"]), int(r["doc_b"]))
-                             for r in pairs.collect()])
+        # Arrow transfer (toPandas), NOT row-wise collect(): the py4j row
+        # path measured ~8s for 286k pairs at sf1.0 where the columnar
+        # path is sub-second (guide §6 "Arrow for driver transfers");
+        # .tolist() yields exact Python ints from the int64 columns
+        ppdf = pairs.toPandas()
+        comp = cc_unionfind(list(zip(ppdf["doc_a"].tolist(),
+                                     ppdf["doc_b"].tolist())))
         pairs.unpersist(blocking=True)
         bcomp = spark.sparkContext.broadcast(comp)
 
@@ -637,7 +691,9 @@ def q_contamination_flags(spark, sf_dir):
     sh = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size("words") - n),
         lambda i: F.concat_ws(" ", F.slice("words", i + 1, n))))
-    d = (_docs(spark, sf_dir)
+    # _fanout before the shingle projection (the dominant compute): each
+    # branch's doc_id filter still pushes to its scan below the guard
+    d = (_fanout(_docs(spark, sf_dir).select("doc_id", "text"))
          .select("doc_id", words.alias("words"))
          .where(F.size("words") >= n)
          .select("doc_id", F.explode(sh).alias("sh")))
@@ -710,26 +766,32 @@ def q_tfidf_topterms(spark, sf_dir):
     ints is bit-identical across engines, unlike log/exp (oracle exactness
     rule). Top-3 per doc, ties broken (score DESC, word ASC).
 
-    100 TB shape: THREE shuffles, each carrying only distinct
-    (doc, word) pairs, never raw tokens — (1) tf groupBy(doc_id, word)
-    with map-side partial aggregation (the explode never crosses the wire),
-    (2) df as count over a word-partitioned window (attaches df with ONE
-    word shuffle instead of a groupBy + self-join's two), (3) the per-doc
-    row_number window. Vocabulary is never collected or broadcast — at
-    corpus scale the df table can exceed any broadcast threshold."""
+    100 TB shape: the shuffles carry only distinct (doc, word) pairs,
+    never raw tokens — (1) tf groupBy(doc_id, word) with map-side partial
+    aggregation (the explode never crosses the wire), (2) df as
+    ``tf.groupBy(word).count()`` + an equi-join back on word, (3) the
+    per-doc row_number window. df via groupBy+join, NOT a
+    word-partitioned window (the r5 shape): vocabulary is Zipfian, and a
+    window over ``partitionBy(word)`` must co-locate every (doc, word)
+    row of a stopword-class term in ONE task — a straggler AQE cannot
+    split (skew handling covers joins only). The groupBy partial-
+    aggregates map-side (the word exchange carries one row per distinct
+    word per partition) and the join back is AQE-skew-splittable; at
+    local scale the tiny df side broadcasts and the corpus pairs are not
+    reshuffled by word at all — scale-adaptive by construction."""
     from pyspark.sql import Window
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
                      lambda x: x != "")
     tf = (
-        _docs(spark, sf_dir)
+        _fanout(_docs(spark, sf_dir).select("doc_id", "text"))
         .select("doc_id", F.explode(words).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    wd = Window.partitionBy("word")
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
     return (
-        tf.withColumn("df", F.count(F.lit(1)).over(wd))
+        tf.join(df, "word")
         .withColumn("score", F.col("tf").cast("double") / F.col("df"))
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= 3)
@@ -862,7 +924,7 @@ def q_pack_manifest(spark, sf_dir):
     p = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
                      lambda x: x != "")
-    ranged = (_docs(spark, sf_dir)
+    ranged = (_fanout(_docs(spark, sf_dir).select("doc_id", "text"))
               .select("doc_id", F.size(words).cast("long").alias("n_tokens"))
               .repartitionByRange(p, "doc_id"))
     base = ranged.sortWithinPartitions("doc_id")
@@ -1207,7 +1269,9 @@ def q_embedding_topk(spark, sf_dir, n_queries: int = 5, k: int = 5):
     vec_id < n_queries vs the whole corpus. Ranking is decided on exact
     doubles folded in list order (identical on both engines); the reported
     score is rounded to 6 dp."""
-    emb = _emb(spark, sf_dir).select(
+    # _fanout on the corpus side: the per-pair fold-based cosine is the
+    # whole cost and a single-row-group scan would evaluate it serially
+    emb = _fanout(_emb(spark, sf_dir).select("vec_id", "embedding")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -1333,7 +1397,11 @@ def q_embedding_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
 
     from .ann import ivf_assign, kmeans_fit
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # corpus side fanned out (single-row-group scan => one task otherwise,
+    # serializing the Arrow assignment pass AND the per-candidate cosine);
+    # the query/train branches filter on vec_id BEFORE the guard so their
+    # pushdown-filtered scans stay tiny
+    emb = _fanout(_emb(spark, sf_dir).select("vec_id", "embedding"))
     train = np.array([np.asarray(r["embedding"], dtype=np.float64)
                       for r in emb.where(F.col("vec_id") < train_n)
                                   .orderBy("vec_id").collect()])
@@ -2697,12 +2765,6 @@ QUERIES = {
     "pack_manifest": q_pack_manifest,
     "mixture_sample": q_mixture_sample,
     "retention_cohorts": q_retention_cohorts,
-    # ROTATED FORWARD for round 5 (r4 verdict ask #5): these three had
-    # never had a driver CORRECTNESS row — give each one pass this round,
-    # then restore them to the tail.
-    "summarize_beam": q_summarize_beam,
-    "translate_m2m": q_translate_m2m,
-    "converse": q_converse,
     # --- rows-only (each value-pinned by a golden digest locally) ---
     "kg_pagerank": q_kg_pagerank,
     "kg_doc_embeddings": q_kg_doc_embeddings,
@@ -2713,11 +2775,17 @@ QUERIES = {
     "masked_fill": q_masked_fill,
     # Sacrificial tail past the driver's ~50-key cap, costing the least
     # information: every key from here down is multiply driver-checked in
-    # past rounds (r2-r4), digest-pinned locally, and has an oracled or
+    # past rounds (r2-r5), digest-pinned locally, and has an oracled or
     # recall-gated sibling earlier in the sweep (keywords_freq for MMR,
     # embedding_topk/ivf for the LSH path, the decode trio for gen_greedy,
     # seq_classify for the encoder head behind masked_fill/QA).
+    # summarize/translate/converse are RESTORED here after their one-time
+    # round-5 rotation (each now has a driver CORRECTNESS row, per the
+    # CLAUDE.md "undo next round" note).
     # Every SQL-oracled query sits inside the swept region.
+    "summarize_beam": q_summarize_beam,
+    "translate_m2m": q_translate_m2m,
+    "converse": q_converse,
     "qa_extractive": q_qa_extractive,
     "gen_greedy": q_gen_greedy,
     "keywords_mmr": q_keywords_mmr,

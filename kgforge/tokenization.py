@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 # token masks (reference: rust-tokenizers Mask enum, used at
 # token_classification.rs:1016-1022)
@@ -45,6 +46,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=1 << 20)
+@lru_cache(maxsize=1 << 17)
 def token_id(piece: str) -> int:
     """Stable 31-bit vocab id from the piece text (md5-derived; deterministic
     across processes, unlike Python's salted hash()). Cached: natural-language
@@ -96,13 +98,21 @@ def tokenize_with_offsets(text: str) -> TokenizedInput:
     for m in _WORD_RE.finditer(text):
         word = m.group(0)
         start = m.start()
-        for i in range(0, len(word), _SUBWORD_CHUNK):
+        n = len(word)
+        if n <= _SUBWORD_CHUNK:    # fast path: the overwhelmingly common
+            pieces.append(word)    # single-piece word skips the chunk loop
+            ids.append(token_id(word))
+            begins.append(start)
+            ends.append(start + n)
+            masks.append(MASK_NONE)
+            continue
+        for i in range(0, n, _SUBWORD_CHUNK):
             piece = word[i:i + _SUBWORD_CHUNK]
             marked = piece if i == 0 else "##" + piece
             pieces.append(marked)
             ids.append(token_id(marked))
             begins.append(start + i)
-            ends.append(start + min(i + _SUBWORD_CHUNK, len(word)))
+            ends.append(start + min(i + _SUBWORD_CHUNK, n))
             masks.append(MASK_NONE if i == 0 else MASK_CONTINUATION)
     return TokenizedInput(pieces, ids, begins, ends, masks)
 

@@ -71,6 +71,30 @@ def test_pagerank_plain_sum_mode_close_but_scale_shaped(spark):
         assert fast[v] == pytest.approx(det[v], rel=1e-12)
 
 
+def test_pagerank_hub_cap_forces_sum_branch(spark):
+    """A node whose in-degree exceeds det_fold_cap takes the plain-sum
+    branch INSIDE the deterministic mode (no giant collected row): values
+    still match the pure-Python oracle to float tolerance, and sub-cap
+    nodes keep the bit-stable fold (partition-invariant)."""
+    from kgforge.graphrank import pagerank
+    hub_edges = EDGES + [(f"x{i}", "c") for i in range(8)]  # c in-deg > 4
+    one = spark.createDataFrame(hub_edges, ["src", "dst"]).coalesce(1)
+    many = spark.createDataFrame(hub_edges, ["src", "dst"]).repartition(7)
+    got = {r["node"]: r["rank"]
+           for r in pagerank(one, det_fold_cap=4).collect()}
+    want = _reference_pagerank(hub_edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    # across partitionings the hub's plain sum may move last bits (and
+    # they propagate through later rounds), but everything agrees to
+    # float tolerance — the trade the cap buys
+    b = {r["node"]: r["rank"]
+         for r in pagerank(many, det_fold_cap=4).collect()}
+    for v in want:
+        assert got[v] == pytest.approx(b[v], rel=1e-12), v
+
+
 def test_pagerank_empty_graph(spark):
     from pyspark.sql.types import StringType, StructField, StructType
     from kgforge.graphrank import pagerank

@@ -62,6 +62,32 @@ def test_distractor_not_entailed(nli):
     assert s[0] < 0.05
 
 
+def test_svo_scan_matches_regex_semantics(nli):
+    """_svo_in replaced the per-candidate dynamic regex (r6: the compile
+    cost was 22% of pipeline Python time); it must match
+    re.search(escape(subj)+r'\\s+'+escape(trigger)+r'\\s+'+escape(obj), p)
+    verdict-for-verdict, including multi-whitespace runs, false subj
+    prefixes, repeated subj occurrences, and no-whitespace adjacency."""
+    import re as _re
+    cases = [
+        ("Amy Silva lives in Paris since 2019.", "Amy Silva", "lives in", "Paris"),
+        ("Amy Silva  \t lives in\nParis.", "Amy Silva", "lives in", "Paris"),
+        ("Amy Silvana lives in Paris.", "Amy Silva", "lives in", "Paris"),
+        ("x Amy Silva x Amy Silva lives in Paris", "Amy Silva", "lives in", "Paris"),
+        ("Amy Silvalives in Paris", "Amy Silva", "lives in", "Paris"),
+        ("Amy Silva lives inParis", "Amy Silva", "lives in", "Paris"),
+        ("nothing here", "Amy Silva", "lives in", "Paris"),
+        ("a (b) c", "a", "(b)", "c"),          # regex-special chars escaped
+        ("", "a", "b", "c"),
+    ]
+    for prem, subj, trig, obj in cases:
+        pat = (_re.escape(subj) + r"\s+" + _re.escape(trig)
+               + r"\s+" + _re.escape(obj))
+        want = _re.search(pat, prem) is not None
+        got = nli._svo_in(prem, subj, trig, obj)
+        assert got == want, (prem, subj, trig, obj)
+
+
 def test_scores_deterministic(nli):
     prem, hyp = ["a b c"], ["x lives in y."]
     a = nli.forward_pairs(prem, hyp)
