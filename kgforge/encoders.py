@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 from typing import Protocol
 
 import numpy as np
@@ -428,6 +429,26 @@ class DenseLayer:
         return ACTIVATIONS[self.activation](x @ self.weight.T + self.bias)
 
 
+@lru_cache(maxsize=1 << 16)
+def _token_vec_cached(token: str, dim: int, seed: int) -> np.ndarray:
+    """Token -> hashed char-trigram vector. Pure function of its arguments,
+    cached per worker: the corpus token vocabulary is small and repeats
+    constantly while each build costs one md5 per trigram (~6 per word).
+    The cached array is frozen read-only; every consumer copies it into a
+    fresh matrix via np.stack before any arithmetic."""
+    padded = f"^{token.lower()}$"
+    grams = [padded[i:i + 3] for i in range(max(1, len(padded) - 2))]
+    idx = np.array(
+        [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+         for g in grams], dtype=np.uint64)
+    sign_bits = (_splitmix64(idx + _U64(seed)) >> _U64(13)) & _U64(1)
+    vec = np.zeros(dim, dtype=np.float64)
+    np.add.at(vec, (idx % _U64(dim)).astype(np.int64),
+              np.where(sign_bits == 1, 1.0, -1.0))
+    vec.setflags(write=False)
+    return vec
+
+
 class StandInEmbedder:
     """Deterministic sentence embedder: hashed char-trigram token vectors,
     then the reference's pooling -> optional Dense -> optional L2-normalize
@@ -440,16 +461,7 @@ class StandInEmbedder:
         self.seed = seed
 
     def _token_vec(self, token: str) -> np.ndarray:
-        padded = f"^{token.lower()}$"
-        grams = [padded[i:i + 3] for i in range(max(1, len(padded) - 2))]
-        idx = np.array(
-            [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-             for g in grams], dtype=np.uint64)
-        sign_bits = (_splitmix64(idx + _U64(self.seed)) >> _U64(13)) & _U64(1)
-        vec = np.zeros(self.dim, dtype=np.float64)
-        np.add.at(vec, (idx % _U64(self.dim)).astype(np.int64),
-                  np.where(sign_bits == 1, 1.0, -1.0))
-        return vec
+        return _token_vec_cached(token, self.dim, self.seed)
 
     def encode(self, texts: list[str],
                pooling: PoolingConfig | None = None,

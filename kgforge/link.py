@@ -38,12 +38,18 @@ def rerank_ambiguous(
     """
     ctx_emb = embedder.encode(contexts)  # [N, D], L2-normalized
     out: list[str] = []
+    # per-call memo: occurrences of the same ambiguous alias share the
+    # identical candidate desc list, so encode each distinct list once
+    desc_cache: dict[tuple[str, ...], np.ndarray] = {}
     for i, cands in enumerate(candidates):
         if len(cands) == 1:
             out.append(cands[0][0])
             continue
-        descs = [c[1] for c in cands]
-        cand_emb = embedder.encode(descs)          # [K, D]
+        descs = tuple(c[1] for c in cands)
+        cand_emb = desc_cache.get(descs)
+        if cand_emb is None:
+            cand_emb = embedder.encode(list(descs))    # [K, D]
+            desc_cache[descs] = cand_emb
         sims = cand_emb @ ctx_emb[i]               # cosine (unit vectors)
         order = sorted(
             range(len(cands)),
