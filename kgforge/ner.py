@@ -37,9 +37,11 @@ from .tokenization import (
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class Token:
-    """Reference Token struct (token_classification.rs:150-171)."""
+    """Reference Token struct (token_classification.rs:150-171).
+    slots=True: created once per decoded sub-word token (130k per 600
+    pages) — slot storage measurably cuts allocation + attribute cost."""
     text: str
     score: float
     label: str
@@ -52,7 +54,7 @@ class Token:
     mask: int
 
 
-@dataclass
+@dataclass(slots=True)
 class Entity:
     """Reference Entity struct (ner.rs:138-149)."""
     word: str
@@ -217,18 +219,25 @@ def consolidate_tokens(tokens: list[Token], aggregation="first") -> list[Token]:
     """Merge continuation sub-words into word-level tokens
     (token_classification.rs:1137-1202). Groups are a word-initial token plus
     its following MASK_CONTINUATION tokens; score is the product of
-    (score if sub-label agrees else 1 - score) (:1174-1182)."""
-    groups: list[list[Token]] = []
-    for t in tokens:
-        if t.mask == MASK_CONTINUATION and groups:
-            groups[-1].append(t)
-        else:
-            groups.append([t])
+    (score if sub-label agrees else 1 - score) (:1174-1182).
+
+    Single forward pass: the overwhelming majority of groups are
+    singletons, so the previous one-list-per-token grouping allocated a
+    list per token for nothing (measured hot). A group STARTS at any
+    non-continuation token — or at a continuation with no open group,
+    i.e. stream position 0, exactly the old `and groups` guard."""
     out: list[Token] = []
-    for group in groups:
-        if len(group) == 1:
-            out.append(group[0])
+    n = len(tokens)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and tokens[j].mask == MASK_CONTINUATION:
+            j += 1
+        if j == i + 1:
+            out.append(tokens[i])
+            i = j
             continue
+        group = tokens[i:j]
         label_index, label = _consolidate_label(group, aggregation)
         score = 1.0
         text = ""
@@ -242,6 +251,7 @@ def consolidate_tokens(tokens: list[Token], aggregation="first") -> list[Token]:
             word_index=first.word_index, begin=first.begin, end=last.end,
             mask=0,
         ))
+        i = j
     return out
 
 

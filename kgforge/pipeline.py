@@ -492,21 +492,36 @@ def surface_components(
     large-star/small-star operator runs and a (surf, component) DataFrame is
     returned."""
     mentions = mentions if mentions is not None else resolved
-    unresolved = resolved.where(F.col("entity_id").isNull())
+    if mentions is resolved:
+        # common case (run_pipeline passes the same frame twice): ONE
+        # distinct pass over the mention stream feeds all three derived
+        # sets — the old shape ran three separate (url, norm) distincts
+        # over the full 253k-row resolved frame (~1s at sf1.0). The
+        # unresolved flag rides the distinct for free: a norm resolves
+        # identically wherever it occurs (deterministic dictionary), so
+        # distinct (url, norm, unres) == distinct (url, norm).
+        uniq = resolved.select(
+            "url", "norm", F.col("entity_id").isNull().alias("unres")).distinct()
+        unresolved_pairs = uniq.where(F.col("unres"))
+        mention_pairs = uniq
+    else:
+        unresolved_pairs = (resolved.where(F.col("entity_id").isNull())
+                            .select("url", "norm").distinct())
+        mention_pairs = mentions.select("url", "norm").distinct()
     surface_nodes = (
-        unresolved.select(F.concat(F.lit("s:"), F.col("norm")).alias("src"))
+        unresolved_pairs.select(F.concat(F.lit("s:"), F.col("norm")).alias("src"))
         .distinct()
         .withColumn("dst", F.col("src"))       # self edge keeps singletons
     )
     multiword = (
-        mentions.select(F.col("url").alias("m_url"), F.col("norm").alias("full_norm"))
-        .distinct()
+        mention_pairs.select(F.col("url").alias("m_url"),
+                             F.col("norm").alias("full_norm"))
         .where(F.size(F.split("full_norm", " ")) > 1)
         .withColumn("lastw", F.element_at(F.split("full_norm", " "), -1))
     )
     coref_edges = (
-        unresolved.select(F.col("url").alias("u_url"), F.col("norm").alias("u_norm"))
-        .distinct()
+        unresolved_pairs.select(F.col("url").alias("u_url"),
+                                F.col("norm").alias("u_norm"))
         .join(multiword,
               (F.col("u_url") == F.col("m_url")) & (F.col("u_norm") == F.col("lastw")),
               "inner")

@@ -106,15 +106,32 @@ def tokenize_with_offsets(text: str) -> TokenizedInput:
             ends.append(start + n)
             masks.append(MASK_NONE)
             continue
-        for i in range(0, n, _SUBWORD_CHUNK):
-            piece = word[i:i + _SUBWORD_CHUNK]
-            marked = piece if i == 0 else "##" + piece
-            pieces.append(marked)
-            ids.append(token_id(marked))
-            begins.append(start + i)
-            ends.append(start + min(i + _SUBWORD_CHUNK, n))
-            masks.append(MASK_NONE if i == 0 else MASK_CONTINUATION)
+        wp, wi, rb, re_, wm = _word_pieces(word)
+        pieces.extend(wp)
+        ids.extend(wi)
+        begins.extend(start + b for b in rb)
+        ends.extend(start + e for e in re_)
+        masks.extend(wm)
     return TokenizedInput(pieces, ids, begins, ends, masks)
+
+
+@lru_cache(maxsize=1 << 16)
+def _word_pieces(word: str) -> tuple[tuple, tuple, tuple, tuple, tuple]:
+    """Multi-piece chunking of one word — a pure function of the word
+    string (piece texts, ids, word-relative offsets, masks), cached
+    because the word vocabulary repeats while the per-word slicing loop
+    is the tokenizer's hottest path."""
+    n = len(word)
+    pieces, ids, rb, re_, masks = [], [], [], [], []
+    for i in range(0, n, _SUBWORD_CHUNK):
+        piece = word[i:i + _SUBWORD_CHUNK]
+        marked = piece if i == 0 else "##" + piece
+        pieces.append(marked)
+        ids.append(token_id(marked))
+        rb.append(i)
+        re_.append(min(i + _SUBWORD_CHUNK, n))
+        masks.append(MASK_NONE if i == 0 else MASK_CONTINUATION)
+    return tuple(pieces), tuple(ids), tuple(rb), tuple(re_), tuple(masks)
 
 
 class WordPieceTokenizer:
