@@ -61,6 +61,26 @@ def _fanout(df: DataFrame) -> DataFrame:
     return df
 
 
+def _fanout_by(df: DataFrame, *keys: str) -> DataFrame:
+    """Key-hash variant of _fanout for a narrow scan feeding a
+    key-clustered operator (window / groupBy on ``keys``): repartition by
+    the operator's OWN key, so the operator's distribution requirement is
+    already satisfied (no second exchange) and the serial scan task does a
+    plain hash shuffle write instead of the full sort / partial pass the
+    operator would otherwise run BELOW its exchange on that one task
+    (e.g. topk_per_group's pre-exchange Sort + Partial WindowGroupLimit
+    over the whole table: measured 2x the query). Unlike round-robin
+    repartition there is no sortBeforeRepartition cost. No-ops at real
+    scale, where the parallel scan makes the pre-exchange partial pass
+    cheap AND worth its shuffle savings."""
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        p = max(int(spark.conf.get("spark.sql.shuffle.partitions")), want)
+        return df.repartition(p, *[F.col(k) for k in keys])
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1954,9 +1974,11 @@ def q_funnel_conversion(spark, sf_dir):
     per-user activity, the same bound sessionize already assumes."""
     day = F.expr("INTERVAL 24 HOUR")
     per_user = (
-        _t(spark, sf_dir, "events")
-        .select("user_id", "event_type", "ts")
-        .where(F.col("event_type").isin("view", "click", "purchase"))
+        _fanout_by(_t(spark, sf_dir, "events")
+                   .select("user_id", "event_type", "ts")
+                   .where(F.col("event_type").isin("view", "click",
+                                                   "purchase")),
+                   "user_id")
         .groupBy("user_id")
         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
               .alias("t_view"),
@@ -2237,7 +2259,9 @@ def q_topk_per_group(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        _t(spark, sf_dir, "orders")
+        _fanout_by(_t(spark, sf_dir, "orders")
+                   .select("o_custkey", "o_orderkey", "o_totalprice"),
+                   "o_custkey")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn",
