@@ -1419,8 +1419,8 @@ def q_embedding_ivf_topk(spark, sf_dir, n_queries: int = 5, k: int = 5,
 
     # corpus side fanned out (single-row-group scan => one task otherwise,
     # serializing the Arrow assignment pass AND the per-candidate cosine);
-    # the query/train branches filter on vec_id BEFORE the guard so their
-    # pushdown-filtered scans stay tiny
+    # the query/train branches' cheap vec_id filters are pushed below the
+    # guard's exchange to their scans, so those branches stay tiny
     emb = _fanout(_emb(spark, sf_dir).select("vec_id", "embedding"))
     train = np.array([np.asarray(r["embedding"], dtype=np.float64)
                       for r in emb.where(F.col("vec_id") < train_n)
